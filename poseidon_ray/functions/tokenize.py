@@ -1,0 +1,238 @@
+"""Code-aware tokenizers — vectorized over Arrow batches.
+
+Reimplements the *semantics* of the reference's per-field tokenizer chain
+(``builder/index/src/main/java/InvertedIndex/plugin/Function/*``,
+``docs/config.md:35-67``) for a source-code corpus:
+
+- ``code``    — the ``text`` chain analog (TextFunction.java:40-87): word /
+                identifier / literal tokens with lowercase + length/digit/hex
+                drop rules, plus snake_case & camelCase sub-token splitting.
+                Length floors are re-specified for code (min 2, so ``if`` /
+                ``go`` survive; the reference's floor of 4 suits CJK logs,
+                not code).
+- ``trigram`` — char 3-grams of normalized content (public Google-code-search
+                style substring index; the reference has no substring search).
+- ``keyword`` — whole value, trimmed + lowercased (KeywordFunction.java:7-8 ->
+                LowerCaseFunction.java:10-23).
+- ``path``    — component expansion (Util.ParsePath analog,
+                plugin/Util.java:189-224): full path, each component,
+                adjacent component pairs.
+
+``normalize_query_term`` is the single query-side normalizer (the reference
+duplicates this rule across 3 languages — inverted_index_gz_client.go:35-45).
+
+Everything operates on whole Arrow arrays via pyarrow.compute / numpy /
+pandas groupbys — no per-row Python in the hot path except the per-row
+trigram window, which is numpy stride tricks per value.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MAX_TOKEN_LEN = 128
+MIN_TOKEN_LEN = 2
+MIN_DIGIT_LEN = 5   # pure digit runs shorter than this are noise (Util.java:77-126)
+MIN_HEX_LEN = 6     # 0x-prefixed hex shorter than this is noise
+
+# split on anything that is neither an ASCII word char nor a CJK ideograph
+# (the reference runs an IK segmenter over CJK, TextFunction.java:40-61; we
+# keep contiguous CJK runs as single tokens — an approximation adequate for a
+# code corpus where CJK appears only in comments/strings)
+_WORD_SPLIT = r"[^A-Za-z0-9_\x{4e00}-\x{9fff}]+"
+_CAMEL_INSERT = r"([a-z0-9])([A-Z])"
+
+
+def normalize_query_term(term: str) -> str:
+    """Build- and query-side token normalization (single source of truth)."""
+    return term.strip().lower()
+
+
+# ------------------------------------------------------------------ helpers
+
+def _drop_mask(tokens: pa.Array) -> pa.Array:
+    """Vectorized keep-mask implementing the drop rules."""
+    length = pc.utf8_length(tokens)
+    is_digit = pc.match_substring_regex(tokens, "^[0-9]+$")
+    is_hex = pc.match_substring_regex(tokens, "^0x[0-9a-f]+$")
+    base_ok = pc.and_(
+        pc.greater_equal(length, MIN_TOKEN_LEN),
+        pc.less_equal(length, MAX_TOKEN_LEN),
+    )
+    keep = base_ok
+    keep = pc.if_else(is_digit, pc.greater_equal(length, MIN_DIGIT_LEN), keep)
+    keep = pc.if_else(is_hex, pc.greater_equal(length, MIN_HEX_LEN), keep)
+    return keep
+
+
+def _flatten_with_parents(list_arr: pa.ListArray) -> tuple[pa.Array, np.ndarray]:
+    lengths = pc.list_value_length(list_arr).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+    parents = np.repeat(np.arange(len(list_arr), dtype=np.int64), lengths)
+    return list_arr.flatten(), parents
+
+
+def _aggregate_tf(tokens: np.ndarray, parents: np.ndarray, n_rows: int):
+    """Group (row, token) -> tf; return per-row lists of terms/tfs/doc_len."""
+    if len(tokens) == 0:
+        empty_t = [[] for _ in range(n_rows)]
+        empty_f = [[] for _ in range(n_rows)]
+        return empty_t, empty_f, np.zeros(n_rows, dtype=np.uint32)
+    df = pd.DataFrame({"p": parents, "t": tokens})
+    grouped = df.groupby(["p", "t"], sort=True).size().reset_index(name="tf")
+    gp = grouped["p"].to_numpy()
+    gt = grouped["t"].to_numpy()
+    gtf = grouped["tf"].to_numpy().astype(np.uint32)
+    # split into per-row lists
+    boundaries = np.searchsorted(gp, np.arange(n_rows + 1))
+    terms_out, tfs_out = [], []
+    doc_len = np.zeros(n_rows, dtype=np.uint32)
+    for i in range(n_rows):
+        s, e = boundaries[i], boundaries[i + 1]
+        terms_out.append(gt[s:e].tolist())
+        tfs_out.append(gtf[s:e].tolist())
+        doc_len[i] = gtf[s:e].sum() if e > s else 0
+    return terms_out, tfs_out, doc_len
+
+
+# ------------------------------------------------------------------ tokenizers
+
+def tokenize_code(values: pa.Array) -> tuple[list, list, np.ndarray]:
+    """Word/identifier tokens + sub-token splitting; returns
+    (terms_per_row, tfs_per_row, doc_len_per_row)."""
+    values = pc.fill_null(values, "")
+    split = pc.split_pattern_regex(values, _WORD_SPLIT)
+    flat, parents = _flatten_with_parents(split)
+    nonempty = pc.not_equal(pc.utf8_length(flat), 0)
+    flat = flat.filter(nonempty)
+    parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+
+    # sub-token expansion: snake_case + camelCase parts, kept alongside the
+    # full identifier (F3 "identifier splitting")
+    spaced = pc.replace_substring_regex(flat, _CAMEL_INSERT, r"\1 \2")
+    spaced = pc.replace_substring(spaced, "_", " ")
+    parts = pc.split_pattern(spaced, " ")
+    n_parts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    multi = n_parts > 1
+    if multi.any():
+        sub_list = parts.filter(pa.array(multi))
+        sub_flat, sub_parents_local = _flatten_with_parents(sub_list)
+        sub_parents = parents[multi][sub_parents_local]
+        sub_ok = pc.not_equal(pc.utf8_length(sub_flat), 0)
+        sub_flat = sub_flat.filter(sub_ok)
+        sub_parents = sub_parents[sub_ok.to_numpy(zero_copy_only=False)]
+        all_tokens = pa.concat_arrays(
+            [flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat,
+             sub_flat.combine_chunks() if isinstance(sub_flat, pa.ChunkedArray) else sub_flat]
+        )
+        all_parents = np.concatenate([parents, sub_parents])
+    else:
+        all_tokens, all_parents = flat, parents
+
+    all_tokens = pc.utf8_lower(all_tokens)
+    keep = _drop_mask(all_tokens)
+    all_tokens = all_tokens.filter(keep)
+    all_parents = all_parents[keep.to_numpy(zero_copy_only=False)]
+    return _aggregate_tf(
+        all_tokens.to_numpy(zero_copy_only=False), all_parents, len(values)
+    )
+
+
+def _trigrams_one(text: str) -> tuple[np.ndarray, np.ndarray]:
+    """Unique trigrams + counts of one normalized string, via a numpy
+    sliding window over the utf-8 bytes (terms are latin-1-decoded 3-byte
+    strings — a lossless bytes<->str mapping shared with the query side)."""
+    b = text.encode("utf-8")
+    if len(b) < 3:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.uint32)
+    a = np.frombuffer(b, dtype=np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(a, 3)
+    recs = np.ascontiguousarray(win).view([("g", "S3")]).ravel()["g"]
+    uniq, counts = np.unique(recs, return_counts=True)
+    terms = np.array([g.decode("latin-1") for g in uniq.tolist()], dtype=object)
+    return terms, counts.astype(np.uint32)
+
+
+_WS_RUN = re.compile(r"\s+")
+
+
+def normalize_for_trigram(text: str) -> str:
+    return _WS_RUN.sub(" ", text.lower()).strip()
+
+
+def tokenize_trigram(values: pa.Array) -> tuple[list, list, np.ndarray]:
+    values = pc.fill_null(values, "")
+    lowered = pc.utf8_lower(values)
+    collapsed = pc.replace_substring_regex(lowered, r"\s+", " ")
+    trimmed = pc.utf8_trim_whitespace(collapsed)
+    terms_out, tfs_out = [], []
+    doc_len = np.zeros(len(values), dtype=np.uint32)
+    for i, text in enumerate(trimmed.to_pylist()):
+        t, c = _trigrams_one(text)
+        terms_out.append(t.tolist())
+        tfs_out.append(c.tolist())
+        doc_len[i] = c.sum() if len(c) else 0
+    return terms_out, tfs_out, doc_len
+
+
+def tokenize_keyword(values: pa.Array) -> tuple[list, list, np.ndarray]:
+    values = pc.fill_null(values, "")
+    toks = pc.utf8_lower(pc.utf8_trim_whitespace(values))
+    np_toks = toks.to_numpy(zero_copy_only=False)
+    terms = [[t] if t else [] for t in np_toks]
+    tfs = [[1] if t else [] for t in np_toks]
+    doc_len = np.array([1 if t else 0 for t in np_toks], dtype=np.uint32)
+    return terms, tfs, doc_len
+
+
+def expand_path(path: str) -> list[str]:
+    """Full path, each component, adjacent pairs (Util.ParsePath analog,
+    forward-slash flavored for repo paths)."""
+    p = path.strip().lower()
+    if not p:
+        return []
+    comps = [c for c in p.split("/") if c]
+    out = [p]
+    out.extend(comps)
+    out.extend(f"{a}/{b}" for a, b in zip(comps, comps[1:]))
+    # dedup preserving order (the reference dedups via Set)
+    seen: set[str] = set()
+    uniq = []
+    for t in out:
+        if t not in seen:
+            seen.add(t)
+            uniq.append(t)
+    return uniq
+
+
+def tokenize_path(values: pa.Array) -> tuple[list, list, np.ndarray]:
+    values = pc.fill_null(values, "")
+    terms_out, tfs_out = [], []
+    doc_len = np.zeros(len(values), dtype=np.uint32)
+    for i, p in enumerate(values.to_pylist()):
+        toks = [t for t in expand_path(p) if len(t) <= MAX_TOKEN_LEN]
+        terms_out.append(toks)
+        tfs_out.append([1] * len(toks))
+        doc_len[i] = len(toks)
+    return terms_out, tfs_out, doc_len
+
+
+TOKENIZERS = {
+    "code": tokenize_code,
+    "trigram": tokenize_trigram,
+    "keyword": tokenize_keyword,
+    "path": tokenize_path,
+}
+
+
+def tokenize_query(text: str, tokenizer: str = "code") -> list[str]:
+    """Query-side tokenization: same kernels, deduped term list (sorted —
+    term order never affects scoring)."""
+    arr = pa.array([normalize_query_term(text)])
+    terms, _tfs, _dl = TOKENIZERS[tokenizer](arr)
+    return sorted(set(terms[0]))

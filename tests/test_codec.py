@@ -1,0 +1,81 @@
+"""Posting codec round-trip — FIXTURES.md F4 cases."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from poseidon_ray.functions import codec
+
+CASES = [
+    np.array([], dtype=np.uint64),
+    np.array([0], dtype=np.uint64),
+    np.array([7], dtype=np.uint64),
+    np.array([0, 0, 0], dtype=np.uint64),                     # duplicate ids
+    np.array([1, 2, 3, 4, 5], dtype=np.uint64),
+    np.array([1, 1 + 127, 1 + 127 + 128], dtype=np.uint64),   # 2^7 boundary
+    np.array([0, 2**14 - 1, 2**14, 2**14 + 1], dtype=np.uint64),
+    np.array([0, 2**28, 2**28 + 2**28], dtype=np.uint64),
+    np.array([0, 2**63 - 1, 2**63, 2**64 - 2], dtype=np.uint64),  # huge gaps
+    np.arange(10**6, dtype=np.uint64) * 3,                    # cap-boundary size
+]
+
+
+@pytest.mark.parametrize("ids", CASES, ids=range(len(CASES)))
+def test_postings_roundtrip(ids):
+    enc = codec.encode_postings(ids)
+    out = codec.decode_postings(enc)
+    np.testing.assert_array_equal(out, ids)
+
+
+def test_varint_roundtrip_values():
+    vals = np.array([0, 1, 127, 128, 16383, 16384, 2**32, 2**64 - 1], dtype=np.uint64)
+    np.testing.assert_array_equal(codec.decode_varint(codec.encode_varint(vals)), vals)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300))
+def test_varint_roundtrip_property(values):
+    arr = np.array(values, dtype=np.uint64)
+    np.testing.assert_array_equal(codec.decode_varint(codec.encode_varint(arr)), arr)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=500))
+def test_postings_roundtrip_property(values):
+    ids = np.sort(np.array(values, dtype=np.uint64))
+    np.testing.assert_array_equal(codec.decode_postings(codec.encode_postings(ids)), ids)
+
+
+def test_varint_compactness():
+    # small deltas must be 1 byte each (the point of delta encoding,
+    # poseidon_if.proto:26-40)
+    ids = np.arange(1000, dtype=np.uint64)
+    assert len(codec.encode_postings(ids)) == 1000
+
+
+@pytest.mark.parametrize("block_size", [64, 128])
+def test_blockmax(block_size):
+    rng = np.random.default_rng(42)
+    n = 1000
+    ids = np.cumsum(rng.integers(1, 50, n)).astype(np.uint64)
+    tfs = rng.integers(1, 30, n).astype(np.uint32)
+    dls = rng.integers(10, 5000, n).astype(np.uint32)
+    impacts = codec.bm25_impacts(tfs, dls, avgdl=900.0, k1=1.2, b=0.75)
+    bm = codec.encode_blockmax(ids, impacts, block_size)
+    last, mx = codec.decode_blockmax(bm)
+    nblocks = (n + block_size - 1) // block_size
+    assert len(last) == nblocks == len(mx)
+    for i in range(nblocks):
+        lo, hi = i * block_size, min((i + 1) * block_size, n)
+        assert last[i] == ids[hi - 1]
+        assert mx[i] == impacts[lo:hi].max()  # exact max => valid WAND bound
+
+
+def test_intersect_sorted():
+    a = np.array([1, 3, 5, 7, 9], dtype=np.uint64)
+    b = np.array([3, 4, 5, 9, 11], dtype=np.uint64)
+    c = np.array([5, 9], dtype=np.uint64)
+    np.testing.assert_array_equal(codec.intersect_sorted([a, b, c]), [5, 9])
+    assert len(codec.intersect_sorted([a, np.array([], dtype=np.uint64)])) == 0
+    np.testing.assert_array_equal(codec.intersect_sorted([a]), a)
