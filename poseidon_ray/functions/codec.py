@@ -12,13 +12,22 @@ All functions are pure numpy — no Ray, heavily unit-tested.
 
 Wire formats
 ------------
-postings  : varint(delta doc_ids), first value absolute
+postings  : varint(delta doc_ids); the delta RESETS (absolute value) at every
+            block boundary, so any block decodes independently — the skip
+            structure block-max WAND needs to avoid touching skipped blocks.
 tf_bytes  : varint(tf) per posting, same order
-blockmax  : per block of `block_size` postings —
-            uint64 last_docid (LE) + float64 max_impact (LE), concatenated.
-            impact = tf / (tf + k1*(1 - b + b*dl/avgdl)); score =
-            idf * (k1+1) * impact, so per-block max_impact gives a valid
-            score upper bound for WAND skipping.
+dl_bytes  : varint(doc_len) per posting, same order (carrying |d| with the
+            posting removes the query-time doc-length lookup entirely; the
+            global avgdl derives from directory stats: sum(cf)/N)
+blockmax  : per block of `block_size` postings — LE records
+            (uint64 last_docid, uint32 tf_max, uint32 dl_min,
+             uint32 off_doc, uint32 off_tf, uint32 off_dl)
+            where off_* are byte offsets of the block start inside the
+            term's postings/tf_bytes/dl_bytes. BM25 impact
+            tf/(tf + k1*(1-b+b*dl/avgdl)) is increasing in tf and
+            decreasing in dl, so f(tf_max, dl_min) is a valid per-block
+            score upper bound computable at query time once avgdl is known
+            (avgdl is a global statistic unavailable during the build pass).
 """
 
 from __future__ import annotations
@@ -29,16 +38,23 @@ _U64 = np.uint64
 _MAX_VARINT_BYTES = 10
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte count per value: 1 + floor((bitlen-1)/7), via threshold
+    compares (no float log — exact for the full uint64 range)."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    nbytes = np.ones(len(v), dtype=np.int64)
+    for k in range(1, _MAX_VARINT_BYTES):
+        nbytes += (v >= _U64(1) << _U64(7 * k)).astype(np.int64)
+    return nbytes
+
+
 def encode_varint(values: np.ndarray) -> bytes:
     """Vectorized LEB128 varint encode of a uint64 array."""
     v = np.ascontiguousarray(values, dtype=_U64)
     n = len(v)
     if n == 0:
         return b""
-    # bytes needed per value: 1 + floor(bitlen-1 / 7) via threshold compares
-    nbytes = np.ones(n, dtype=np.int64)
-    for k in range(1, _MAX_VARINT_BYTES):
-        nbytes += (v >= _U64(1) << _U64(7 * k)).astype(np.int64)
+    nbytes = varint_lengths(v)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(ends[-1], dtype=np.uint8)
@@ -71,23 +87,47 @@ def decode_varint(data: bytes) -> np.ndarray:
     return vals
 
 
-def encode_postings(doc_ids: np.ndarray) -> bytes:
-    """Delta + varint encode. ``doc_ids`` must be sorted ascending (duplicates
-    allowed — the reference keeps same-doc entries with distinct rows,
+def postings_deltas(doc_ids: np.ndarray, block_size: int | None = None) -> np.ndarray:
+    """Deltas with an absolute reset at every `block_size` boundary.
+    ``doc_ids`` must be sorted ascending (duplicates allowed — the reference
+    keeps same-doc entries with distinct rows,
     InvertedIndexGenerateReducer.java:396-414; we aggregate tf instead so
     ids are unique, but the codec does not require it)."""
     ids = np.ascontiguousarray(doc_ids, dtype=_U64)
     if len(ids) == 0:
-        return b""
+        return ids
     deltas = np.empty_like(ids)
     deltas[0] = ids[0]
     np.subtract(ids[1:], ids[:-1], out=deltas[1:])
-    return encode_varint(deltas)
+    if block_size:
+        resets = np.arange(0, len(ids), block_size)
+        deltas[resets] = ids[resets]
+    return deltas
 
 
-def decode_postings(data: bytes) -> np.ndarray:
-    deltas = decode_varint(data)
-    return np.cumsum(deltas, dtype=_U64)
+def encode_postings(doc_ids: np.ndarray, block_size: int | None = None) -> bytes:
+    return encode_varint(postings_deltas(doc_ids, block_size))
+
+
+def undelta(deltas: np.ndarray, block_size: int | None = None) -> np.ndarray:
+    """Inverse of postings_deltas: cumulative sum with per-block restarts,
+    vectorized (naive global cumsum, then subtract each block's carry-in)."""
+    if len(deltas) == 0 or not block_size or len(deltas) <= block_size:
+        return np.cumsum(deltas, dtype=_U64)
+    naive = np.cumsum(deltas, dtype=_U64)
+    resets = np.arange(block_size, len(deltas), block_size)
+    # carry-in of block j is naive[reset_j - 1]; uint64 wraparound cancels
+    # between the cumsum and this subtraction, so the result is exact
+    block_lens = np.diff(np.concatenate([resets, [len(deltas)]]))
+    carry = np.concatenate(
+        [np.zeros(block_size, dtype=_U64),
+         np.repeat(naive[resets - 1], block_lens)]
+    )
+    return naive - carry
+
+
+def decode_postings(data: bytes, block_size: int | None = None) -> np.ndarray:
+    return undelta(decode_varint(data), block_size)
 
 
 def bm25_impacts(tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float,
@@ -98,29 +138,45 @@ def bm25_impacts(tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float,
     return tf / (tf + norm)
 
 
-def encode_blockmax(doc_ids: np.ndarray, impacts: np.ndarray,
+BLOCKMAX_DTYPE = np.dtype(
+    [("last", "<u8"), ("tf_max", "<u4"), ("dl_min", "<u4"),
+     ("off_doc", "<u4"), ("off_tf", "<u4"), ("off_dl", "<u4")]
+)
+
+
+def encode_blockmax(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
                     block_size: int) -> bytes:
-    """Skip table: (last_docid, max_impact) per block of `block_size`."""
+    """Skip table for ONE term (convenience wrapper over the batched path
+    used by the segment builder)."""
     n = len(doc_ids)
     if n == 0:
         return b""
-    nblocks = (n + block_size - 1) // block_size
-    last = np.ascontiguousarray(doc_ids, dtype=_U64)[
-        np.minimum(np.arange(1, nblocks + 1) * block_size, n) - 1
-    ]
-    maxes = np.array(
-        [impacts[i * block_size:(i + 1) * block_size].max() for i in range(nblocks)],
-        dtype=np.float64,
-    )
-    out = np.empty(nblocks, dtype=np.dtype([("last", "<u8"), ("max", "<f8")]))
-    out["last"] = last
-    out["max"] = maxes
+    ids = np.ascontiguousarray(doc_ids, dtype=_U64)
+    tfs = np.asarray(tfs, dtype=_U64)
+    dls = np.asarray(doc_lens, dtype=_U64)
+    starts = np.arange(0, n, block_size)
+    ends = np.minimum(starts + block_size, n)
+    out = np.empty(len(starts), dtype=BLOCKMAX_DTYPE)
+    out["last"] = ids[ends - 1]
+    out["tf_max"] = np.maximum.reduceat(tfs, starts)
+    out["dl_min"] = np.minimum.reduceat(dls, starts)
+    dd = varint_lengths(postings_deltas(ids, block_size))
+    out["off_doc"] = np.concatenate([[0], np.cumsum(dd)])[starts]
+    out["off_tf"] = np.concatenate([[0], np.cumsum(varint_lengths(tfs))])[starts]
+    out["off_dl"] = np.concatenate([[0], np.cumsum(varint_lengths(dls))])[starts]
     return out.tobytes()
 
 
-def decode_blockmax(data: bytes) -> tuple[np.ndarray, np.ndarray]:
-    arr = np.frombuffer(data, dtype=np.dtype([("last", "<u8"), ("max", "<f8")]))
-    return arr["last"].copy(), arr["max"].copy()
+def decode_blockmax(data: bytes) -> np.ndarray:
+    """Structured array view (last, tf_max, dl_min, off_doc, off_tf, off_dl)."""
+    return np.frombuffer(data, dtype=BLOCKMAX_DTYPE)
+
+
+def block_upper_bounds(tf_max: np.ndarray, dl_min: np.ndarray, idf: float,
+                       avgdl: float, k1: float, b: float) -> np.ndarray:
+    """Per-block BM25 score upper bound from the skip table."""
+    impacts = bm25_impacts(tf_max, dl_min, avgdl, k1, b)
+    return idf * (k1 + 1.0) * impacts
 
 
 def intersect_sorted(lists: list[np.ndarray]) -> np.ndarray:

@@ -1,0 +1,363 @@
+"""Query engine: BM25 top-k over the built index.
+
+The scatter-gather shape of the reference searcher (SURVEY §3.3:
+FetchIndex -> DocIdIntersect -> paginate -> FetchDocItems,
+service/searcher/module/poseidon.go:171-216) becomes:
+
+- ``Searcher``        — in-process engine: pinned term directory (the ST5
+                        meta-cache analog), lazy row-group reads of segment
+                        rows, LRU posting cache, three evaluation modes:
+                        AND (sorted intersection, J5), OR-exhaustive
+                        (vectorized accumulation) and OR block-max WAND
+                        (Broder et al.; Ding & Suel) — WAND is exact:
+                        identical top-k + scores to exhaustive.
+- ``search_dataset``  — a batch of queries as a Dataset mapped over a
+                        Searcher actor pool (one actor per CPU slice; each
+                        actor pins the directory once in __init__) — the
+                        proxy/searcher fan-out analog for offline query
+                        workloads.
+- content fetch       — ``stages.docids.fetch_docs`` arithmetic (J3/J4).
+
+Scale note (10^12 docs): the directory itself is term-hash-partitioned on
+disk (directory-PPPPP.parquet); a multi-node deployment pins one directory
+partition per searcher actor and routes query terms by the same hash. In
+this repo the whole directory fits one actor, so routing is skipped but the
+layout already supports it.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+
+from poseidon_ray.functions import codec
+from poseidon_ray.functions.tokenize import tokenize_query
+from poseidon_ray.schema import IndexSpec
+from poseidon_ray.state import segments as seg
+
+
+def bm25_idf(num_docs: int, df: int) -> float:
+    import math
+
+    return math.log(1.0 + (num_docs - df + 0.5) / (df + 0.5))
+
+
+class Searcher:
+    """Stateful query evaluator; init cost paid once (directory pin)."""
+
+    def __init__(self, index_dir: str, cache_items: int = 4096):
+        self.index_dir = index_dir
+        self.manifest = seg.load_index_manifest(index_dir)
+        self.num_docs = self.manifest["num_docs"]
+        self.k1 = self.manifest["bm25"]["k1"]
+        self.b = self.manifest["bm25"]["b"]
+        directory = seg.load_directory(index_dir)
+        # (field, term) -> list of (segment_path, row_index); df/cf summed
+        # across salted shards (doc-disjoint, so sums are exact)
+        self._dir: dict[tuple[str, str], dict] = {}
+        fields = directory["field"].to_pylist()
+        terms = directory["term"].to_pylist()
+        paths = directory["segment_path"].to_pylist()
+        rows = directory["row_index"].to_pylist()
+        dfs = directory["df"].to_pylist()
+        cfs = directory["cf"].to_pylist()
+        for f, t, p, r, df, cf in zip(fields, terms, paths, rows, dfs, cfs):
+            e = self._dir.setdefault((f, t), {"shards": [], "df": 0, "cf": 0})
+            e["shards"].append((p, r))
+            e["df"] += df
+            e["cf"] += cf
+        self._readers: dict[str, seg.SegmentReader] = {}
+        self._cache: OrderedDict = OrderedDict()
+        self._cache_items = cache_items
+
+    # -------------------------------------------------- postings access
+
+    def _reader(self, path: str) -> seg.SegmentReader:
+        r = self._readers.get(path)
+        if r is None:
+            r = self._readers[path] = seg.SegmentReader(path)
+        return r
+
+    def term_stats(self, field: str, term: str) -> tuple[int, int]:
+        e = self._dir.get((field, term))
+        return (e["df"], e["cf"]) if e else (0, 0)
+
+    def postings(self, field: str, term: str):
+        """(doc_ids, tfs, dls) merged ascending across salted shards."""
+        key = (field, term)
+        hit = self._cache.get(key)
+        if hit is not None:
+            self._cache.move_to_end(key)
+            return hit
+        e = self._dir.get(key)
+        if e is None:
+            empty = (np.empty(0, np.uint64), np.empty(0, np.uint64), np.empty(0, np.uint64))
+            return empty
+        parts = []
+        for path, row in e["shards"]:
+            rowd = self._reader(path).read_row(
+                row, columns=["postings", "tf_bytes", "dl_bytes"])
+            ids = codec.decode_postings(rowd["postings"], self._block_size)
+            tfs = codec.decode_varint(rowd["tf_bytes"])
+            dls = codec.decode_varint(rowd["dl_bytes"])
+            parts.append((ids, tfs, dls))
+        if len(parts) == 1:
+            out = parts[0]
+        else:
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            order = np.argsort(ids, kind="stable")
+            out = (ids[order], tfs[order], dls[order])
+        self._cache[key] = out
+        if len(self._cache) > self._cache_items:
+            self._cache.popitem(last=False)
+        return out
+
+    @property
+    def _block_size(self) -> int:
+        return self.manifest.get("block_size", 128)
+
+    def avgdl(self, field: str) -> float:
+        st = self.manifest["fields"].get(field)
+        return st["avgdl"] if st else 0.0
+
+    # -------------------------------------------------- scoring
+
+    def _term_score(self, field: str, term: str, doc_sel: np.ndarray | None):
+        """Scores for one term: (doc_ids, scores). doc_sel restricts to a
+        sorted candidate set (AND mode)."""
+        ids, tfs, dls = self.postings(field, term)
+        if len(ids) == 0:
+            return ids, np.empty(0, np.float64)
+        df = self._dir[(field, term)]["df"]
+        idf = bm25_idf(self.num_docs, df)
+        if doc_sel is not None:
+            pos = np.searchsorted(ids, doc_sel)
+            pos = np.minimum(pos, len(ids) - 1)
+            hit = ids[pos] == doc_sel
+            pos, ids = pos[hit], doc_sel[hit]
+            tfs, dls = tfs[pos], dls[pos]
+        impacts = codec.bm25_impacts(tfs, dls, self.avgdl(field), self.k1, self.b)
+        return ids, (idf * (self.k1 + 1.0)) * impacts
+
+    @staticmethod
+    def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int):
+        if len(doc_ids) == 0:
+            return []
+        order = np.lexsort((doc_ids, -scores))[:k]
+        return [(int(doc_ids[i]), float(scores[i])) for i in order]
+
+    def search(self, text: str, field: str = "content", mode: str = "or",
+               k: int = 10, tokenizer: str | None = None,
+               algorithm: str = "exhaustive") -> list[tuple[int, float]]:
+        spec_default = IndexSpec()
+        tok = tokenizer or spec_default.fields.get(field, (field, "code"))[1]
+        terms = tokenize_query(text, tok)
+        if not terms:
+            return []
+        if mode == "and":
+            lists = [self.postings(field, t)[0] for t in terms]
+            cand = codec.intersect_sorted(lists)
+            if len(cand) == 0:
+                return []
+            total = np.zeros(len(cand), dtype=np.float64)
+            for t in terms:  # sorted term order — float-identical to oracle
+                ids, sc = self._term_score(field, t, cand)
+                total += sc  # ids == cand by construction
+            return self._topk(cand, total, k)
+        if algorithm == "wand":
+            return self._search_wand(terms, field, k)
+        # OR exhaustive: accumulate over the union
+        acc: dict = {}
+        all_ids = []
+        per_term = []
+        for t in terms:
+            ids, sc = self._term_score(field, t, None)
+            per_term.append((ids, sc))
+            all_ids.append(ids)
+        union = np.unique(np.concatenate(all_ids)) if all_ids else np.empty(0, np.uint64)
+        if len(union) == 0:
+            return []
+        total = np.zeros(len(union), dtype=np.float64)
+        for ids, sc in per_term:
+            if len(ids) == 0:
+                continue
+            pos = np.searchsorted(union, ids)
+            total[pos] += sc
+        return self._topk(union, total, k)
+
+    # -------------------------------------------------- block-max WAND
+
+    def _search_wand(self, terms: list[str], field: str, k: int):
+        """Block-max WAND (Broder et al. 2003 pivoting; Ding & Suel 2011
+        per-block bounds), EXACT under the (score desc, doc_id asc)
+        tiebreak: a candidate range is skipped only when its upper bound is
+        STRICTLY below the current k-th score, so potential score-ties are
+        always evaluated.
+
+        Scores are accumulated per query term in sorted-term order at
+        evaluation time, keeping float64 results bit-identical to the
+        exhaustive evaluator and the brute-force oracle.
+        """
+        avgdl = self.avgdl(field)
+        bs = self._block_size
+        cursors = []
+        for t in terms:  # terms are sorted; cursor order fixes float order
+            ids, tfs, dls = self.postings(field, t)
+            if len(ids) == 0:
+                continue
+            idf = bm25_idf(self.num_docs, self._dir[(field, t)]["df"])
+            sc = (idf * (self.k1 + 1.0)) * codec.bm25_impacts(
+                tfs, dls, avgdl, self.k1, self.b)
+            nblocks = (len(ids) + bs - 1) // bs
+            blk_last = ids[np.minimum(np.arange(1, nblocks + 1) * bs, len(ids)) - 1]
+            blk_ub = np.maximum.reduceat(sc, np.arange(0, len(ids), bs))
+            cursors.append({
+                "ids": ids, "sc": sc, "pos": 0,
+                "blk_last": blk_last, "blk_ub": blk_ub,
+                "max_ub": float(sc.max()),
+            })
+        if not cursors:
+            return []
+        heap: list[tuple[float, int]] = []  # (score, -doc_id), min-root = k-th
+
+        def theta() -> float:
+            return heap[0][0] if len(heap) >= k else -np.inf
+
+        def cur_doc(c) -> int:
+            return int(c["ids"][c["pos"]])
+
+        def advance(c, target: int) -> None:
+            p = c["pos"]
+            c["pos"] = p + int(np.searchsorted(c["ids"][p:], target))
+
+        while True:
+            live = [c for c in cursors if c["pos"] < len(c["ids"])]
+            if not live:
+                break
+            live.sort(key=cur_doc)
+            # WAND pivot: first cursor where the running max-UB sum could
+            # still reach theta (>= keeps tie candidates alive)
+            ub_sum, pivot_idx = 0.0, None
+            for i, c in enumerate(live):
+                ub_sum += c["max_ub"]
+                if ub_sum >= theta():
+                    pivot_idx = i
+                    break
+            if pivot_idx is None:
+                break
+            pivot = cur_doc(live[pivot_idx])
+            if cur_doc(live[0]) == pivot:
+                # every cursor positioned at <= pivot (cursors past pivot_idx
+                # may sit exactly at pivot; excluding them would stall)
+                n_cover = pivot_idx + 1
+                while n_cover < len(live) and cur_doc(live[n_cover]) <= pivot:
+                    n_cover += 1
+                covering = live[:n_cover]
+                # block-max refinement: bound using the blocks containing
+                # the pivot, not the whole lists
+                blk_sum = 0.0
+                blk_bound = None
+                for c in covering:
+                    p = c["pos"] + int(np.searchsorted(c["ids"][c["pos"]:], pivot))
+                    blk = p // bs
+                    blk_sum += float(c["blk_ub"][blk])
+                    last = int(c["blk_last"][blk])
+                    blk_bound = last if blk_bound is None else min(blk_bound, last)
+                if blk_sum >= theta():
+                    # full evaluation of pivot, in global (sorted-term) order
+                    s = 0.0
+                    for c in cursors:
+                        if c["pos"] < len(c["ids"]):
+                            advance(c, pivot)
+                            if c["pos"] < len(c["ids"]) and c["ids"][c["pos"]] == pivot:
+                                s += float(c["sc"][c["pos"]])
+                                c["pos"] += 1
+                    entry = (s, -pivot)
+                    if len(heap) < k:
+                        heapq.heappush(heap, entry)
+                    elif entry > heap[0]:
+                        heapq.heapreplace(heap, entry)
+                else:
+                    # no doc in [pivot, blk_bound] can reach theta: jump past
+                    nxt = blk_bound + 1
+                    if n_cover < len(live):
+                        nxt = min(nxt, cur_doc(live[n_cover]))
+                    for c in covering:
+                        advance(c, nxt)
+            else:
+                for c in live[:pivot_idx]:
+                    advance(c, pivot)
+        out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+        return [(-d, s) for s, d in out]
+
+    # -------------------------------------------------- pv-only mode (O5)
+
+    def count(self, text: str, field: str = "content", mode: str = "and",
+              tokenizer: str | None = None) -> int:
+        """The reference's pv_only path (module/poseidon.go:180,214):
+        hit count without doc fetch; single-term uses directory stats only
+        (the PV sentinel read, inverted_index_gz_client.go:132-137)."""
+        spec_default = IndexSpec()
+        tok = tokenizer or spec_default.fields.get(field, (field, "code"))[1]
+        terms = tokenize_query(text, tok)
+        if not terms:
+            return 0
+        if len(terms) == 1:
+            return self.term_stats(field, terms[0])[0]
+        lists = [self.postings(field, t)[0] for t in terms]
+        if mode == "and":
+            return int(len(codec.intersect_sorted(lists)))
+        return int(len(np.unique(np.concatenate(lists))))
+
+
+class SearcherBatch:
+    """Actor-pool wrapper: a batch of query rows in, top-k result rows out.
+
+    Use with ``ds.map_batches(SearcherBatch, fn_constructor_kwargs=
+    {"index_dir": ...}, concurrency=N, batch_format="pyarrow")`` — the
+    offline scatter-gather analog of proxy.go:79-109.
+    """
+
+    def __init__(self, index_dir: str, k: int = 10):
+        self.searcher = Searcher(index_dir)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names, ranks, docs, scores = [], [], [], []
+        k_col = batch["k"] if "k" in batch.column_names else None
+        for i in range(batch.num_rows):
+            name = batch["name"][i].as_py() if "name" in batch.column_names else str(i)
+            k = int(k_col[i].as_py()) if k_col is not None else self.k
+            hits = self.searcher.search(
+                batch["text"][i].as_py(),
+                field=batch["field"][i].as_py() if "field" in batch.column_names else "content",
+                mode=batch["mode"][i].as_py() if "mode" in batch.column_names else "or",
+                k=k,
+            )
+            for r, (d, s) in enumerate(hits):
+                names.append(name)
+                ranks.append(r)
+                docs.append(d)
+                scores.append(s)
+        return pa.table({
+            "name": pa.array(names, type=pa.string()),
+            "rank": pa.array(ranks, type=pa.int32()),
+            "doc_id": pa.array(docs, type=pa.uint64()),
+            "score": pa.array(scores, type=pa.float64()),
+        })
+
+
+def search_dataset(queries, index_dir: str, k: int = 10, concurrency=None):
+    """Run a Dataset of queries (name, field, mode, text[, k]) through a
+    Searcher actor pool."""
+    return queries.map_batches(
+        SearcherBatch,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

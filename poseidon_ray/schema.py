@@ -34,7 +34,7 @@ CORPUS_SCHEMA = pa.schema(
 
 # docstore = corpus rows after docID assignment (written back partitioned so a
 # doc fetch is (file, row) arithmetic — the DocGzMeta/hdfsreader analog).
-DOCSTORE_EXTRA_COLUMNS = ["doc_id", "doc_len", "sha256"]
+DOCSTORE_EXTRA_COLUMNS = ["doc_id", "sha256"]
 
 # doc metadata (the docmeta job analog, builder/docmeta/.../DocMetaMapper.java)
 DOCMETA_SCHEMA = pa.schema(
@@ -44,27 +44,14 @@ DOCMETA_SCHEMA = pa.schema(
         ("path", pa.string()),
         ("commit", pa.string()),
         ("lang", pa.string()),
-        ("doc_len", pa.uint32()),   # total token occurrences (BM25 |d|)
         ("sha256", pa.string()),    # per-row invariant (BASELINE input_hint)
-    ]
-)
-
-# flat tokenizer output: one row per corpus row, token lists nested (flattened
-# to posting events by the partial-agg stage; keeps doc_len computable in the
-# same pass, no second tokenize).
-TOKENIZED_SCHEMA = pa.schema(
-    [
-        ("doc_id", pa.uint64()),
-        ("field", pa.string()),
-        ("terms", pa.list_(pa.string())),
-        ("tfs", pa.list_(pa.uint32())),
-        ("doc_len", pa.uint32()),
     ]
 )
 
 # partial-aggregated posting chunks (the MR combiner output analog,
 # InvertedIndexGenerateCombiner.java:41-109): one row per (term, field) per
-# input block; doc_ids sorted ascending within the chunk.
+# input block; doc_ids sorted ascending within the chunk. doc_lens ride along
+# so BM25 norms need no query-time doc-length join.
 CHUNK_SCHEMA = pa.schema(
     [
         ("part", pa.uint32()),          # salted term partition
@@ -72,6 +59,7 @@ CHUNK_SCHEMA = pa.schema(
         ("field", pa.string()),
         ("doc_ids", pa.list_(pa.uint64())),
         ("tfs", pa.list_(pa.uint32())),
+        ("doc_lens", pa.list_(pa.uint32())),
     ]
 )
 
@@ -86,7 +74,8 @@ SEGMENT_SCHEMA = pa.schema(
         ("cf_truncated", pa.bool_()),   # posting cap applied (ReduceGroupData.java:130-157)
         ("postings", pa.large_binary()),   # delta+varint doc_ids
         ("tf_bytes", pa.large_binary()),   # varint tfs, same order
-        ("blockmax", pa.large_binary()),   # block-max skip table (codec.py)
+        ("dl_bytes", pa.large_binary()),   # varint doc_lens, same order
+        ("blockmax", pa.large_binary()),   # (last_docid, tf_max, dl_min) skip table
     ]
 )
 
@@ -123,17 +112,17 @@ class IndexSpec:
     builder/index/src/main/etc/test.json): which fields are indexed, with
     which tokenizer chain, plus physical layout knobs."""
 
-    # field -> tokenizer name registered in functions/tokenize.py
-    # ("code" = identifier+literal word tokens; "trigram" = char 3-grams of
-    #  normalized content; "keyword" = whole lowercased value; "path" =
-    #  component expansion, the Util.ParsePath analog)
-    fields: dict[str, str] = field(
+    # index field -> (source column, tokenizer name registered in
+    # functions/tokenize.py). "code" = identifier+literal word tokens;
+    # "trigram" = char 3-grams of normalized content; "keyword" = whole
+    # lowercased value; "path" = component expansion (Util.ParsePath analog).
+    fields: dict[str, tuple[str, str]] = field(
         default_factory=lambda: {
-            "content": "code",
-            "content3": "trigram",
-            "path": "path",
-            "repo": "keyword",
-            "lang": "keyword",
+            "content": ("content", "code"),
+            "content3": ("content", "trigram"),
+            "path": ("path", "path"),
+            "repo": ("repo", "keyword"),
+            "lang": ("lang", "keyword"),
         }
     )
     num_partitions: int = 32          # term-hash partitions (1000 buckets analog)

@@ -1,0 +1,128 @@
+"""Deterministic global docID assignment + docstore write.
+
+The reference hands out dense docId ranges from a Redis ``INCRBY`` service
+(service/idgenerator/module/idgenerator.go:80-87) and derives per-line ids
+with a per-file first-docId table (InvertedIndexGenerateMapper.java:74-119,
+172-173) — arrival-order-dependent and service-coupled. Here docIDs come
+from the data itself (north rule): sort the corpus by (repo, path, commit)
+— a Ray Data range shuffle — then doc_id = global rank. Reproducible across
+runs and partition counts, no external service.
+
+The rank is attached with one tiny driver-side reduce (per-block row counts
+-> exclusive prefix sum, the analog of the reference's
+``fname_begin_docid.txt`` table ST3) followed by one raw Ray task per block;
+the Dataset API has no zip-with-index, and per-block base offsets are exactly
+the semantics the task layer exists for. The same task writes the block as a
+docstore Parquet file, so content fetch at query time is pure arithmetic:
+file i covers [base_i, base_i + rows_i) — the DocGzMeta + hdfsreader-ranged-
+read analog (poseidon_if.proto:13-17, Reader.java:112-115).
+
+Driver memory stays O(#blocks), not O(rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from poseidon_ray.functions.hashing import sha256_column
+
+SORT_KEYS = ["repo", "path", "commit"]
+
+
+@ray.remote(num_cpus=1)
+def _finalize_block(block: pa.Table, base: int, path: str) -> dict:
+    """Attach doc_id + sha256 to one sorted block and write it as one
+    docstore file. Idempotent via atomic rename (resume skips rewrites)."""
+    n = block.num_rows
+    doc_id = pa.array(np.arange(base, base + n, dtype=np.uint64))
+    sha = pa.array(sha256_column(block["content"]))
+    out = block.append_column("doc_id", doc_id).append_column("sha256", sha)
+    tmp = f"{path}.tmp"
+    pq.write_table(out, tmp, row_group_size=4096, compression="zstd")
+    os.replace(tmp, path)
+    return {"path": path, "first_doc_id": base, "num_rows": n}
+
+
+def build_docstore(corpus: ray.data.Dataset, out_dir: str) -> dict:
+    """Sort-shuffle the corpus, assign dense docIDs, write the docstore.
+
+    Returns the docstore manifest: {"files": [{path, first_doc_id,
+    num_rows}...], "num_docs": N}. Written to ``out_dir/docstore.json``
+    atomically (checkpoint: a re-run with the manifest present is a no-op
+    upstream of this stage).
+    """
+    manifest_path = os.path.join(out_dir, "docstore.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            return json.load(f)
+
+    os.makedirs(os.path.join(out_dir, "docstore"), exist_ok=True)
+    ds = corpus.sort(SORT_KEYS)
+    # materialize the sorted blocks, then attach ranks per block; block refs
+    # stay in the object store (zero-copy), only counts reach the driver
+    blocks = ds.materialize().to_arrow_refs()
+    counts = ray.get(
+        [_nrows.remote(b) for b in blocks]
+    )
+    bases = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    futures = []
+    for i, (ref, base) in enumerate(zip(blocks, bases)):
+        path = os.path.join(out_dir, "docstore", f"part-{i:06d}.parquet")
+        futures.append(_finalize_block.remote(ref, int(base), path))
+    files = ray.get(futures)
+    files = [f for f in files if f["num_rows"] > 0]
+    manifest = {"files": files, "num_docs": int(sum(counts))}
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, manifest_path)
+    return manifest
+
+
+@ray.remote(num_cpus=0.25)
+def _nrows(block: pa.Table) -> int:
+    return block.num_rows
+
+
+def read_docstore(out_dir: str) -> ray.data.Dataset:
+    """Read exactly the manifest's files (never stray .tmp from a crash)."""
+    with open(os.path.join(out_dir, "docstore.json")) as f:
+        manifest = json.load(f)
+    return ray.data.read_parquet([fi["path"] for fi in manifest["files"]])
+
+
+def fetch_docs(out_dir: str, manifest: dict, doc_ids: list[int],
+               columns: list[str] | None = None) -> pa.Table:
+    """Batched content fetch by docID — (file, row) arithmetic against the
+    docstore manifest, then row-group-pruned Parquet reads (the J3/J4 doc
+    fetch path, doc_gz_client.go:118-169). Driver-side; callers batch ids
+    (the reference caps in-flight doc fetches at 64, module/poseidon.go:146)."""
+    files = manifest["files"]
+    firsts = np.array([f["first_doc_id"] for f in files], dtype=np.int64)
+    ids = np.asarray(sorted(set(int(d) for d in doc_ids)), dtype=np.int64)
+    file_idx = np.searchsorted(firsts, ids, side="right") - 1
+    out = []
+    for fi in np.unique(file_idx):
+        info = files[fi]
+        local = ids[file_idx == fi] - info["first_doc_id"]
+        pf = pq.ParquetFile(info["path"], memory_map=True)
+        rgs = pf.metadata
+        # map local row -> row group via cumulative row-group sizes
+        rg_rows = np.array([rgs.row_group(i).num_rows for i in range(rgs.num_row_groups)])
+        rg_first = np.concatenate([[0], np.cumsum(rg_rows)[:-1]])
+        rg_idx = np.searchsorted(rg_first, local, side="right") - 1
+        for rg in np.unique(rg_idx):
+            tbl = pf.read_row_group(int(rg), columns=columns)
+            rows = local[rg_idx == rg] - rg_first[rg]
+            out.append(tbl.take(pa.array(rows)))
+    if not out:
+        schema = pq.read_schema(files[0]["path"]) if files else None
+        return pa.table({}) if schema is None else schema.empty_table()
+    return pa.concat_tables(out)

@@ -1,0 +1,126 @@
+"""Tokenize + in-block partial aggregation — the MR map + combine analog.
+
+One actor-pool ``map_batches`` stage fuses the reference's mapper
+(tokenizer chain emit, InvertedIndexGenerateMapper.java:127-177 +
+LogParser.Write:21-53) and combiner (per-block partial merge,
+InvertedIndexGenerateCombiner.java:41-109): for each batch of docstore rows
+it tokenizes every configured field and emits ONE chunk row per
+(term, field, salt) — doc_ids/tfs/doc_lens as list columns — so the term
+shuffle moves O(distinct terms per block) rows instead of O(token
+occurrences). Hot terms additionally split by doc_id-derived salt
+(SURVEY §2.5 A7), bounding any single segment-build group.
+
+Stateful setup (compiled tokenizer tables, the hot-term set, an optional
+stopword blacklist — the ST1/ST2 analog of the reference's DistributedCache
+dictionaries) happens once per actor in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from poseidon_ray.functions.hashing import hash_terms
+from poseidon_ray.functions.tokenize import TOKENIZERS
+from poseidon_ray.schema import CHUNK_SCHEMA, IndexSpec
+
+_SALT_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def make_chunks(
+    field: str,
+    terms_per_row: list[list[str]],
+    tfs_per_row: list[list[int]],
+    doc_len_per_row: np.ndarray,
+    doc_ids: np.ndarray,
+    spec: IndexSpec,
+    hot_terms: frozenset[str],
+    blacklist: frozenset[str] = frozenset(),
+) -> pa.Table:
+    """Vectorized chunk construction for one field over one batch."""
+    lens = np.array([len(t) for t in terms_per_row], dtype=np.int64)
+    n_flat = int(lens.sum())
+    if n_flat == 0:
+        return CHUNK_SCHEMA.empty_table()
+    flat_terms = np.empty(n_flat, dtype=object)
+    flat_tfs = np.empty(n_flat, dtype=np.uint32)
+    pos = 0
+    for t, f in zip(terms_per_row, tfs_per_row):
+        k = len(t)
+        flat_terms[pos:pos + k] = t
+        flat_tfs[pos:pos + k] = f
+        pos += k
+    parents = np.repeat(np.arange(len(terms_per_row)), lens)
+    flat_doc = doc_ids[parents].astype(np.uint64)
+    flat_dl = doc_len_per_row[parents].astype(np.uint32)
+
+    if blacklist:
+        keep = ~np.isin(flat_terms, list(blacklist))
+        flat_terms, flat_tfs = flat_terms[keep], flat_tfs[keep]
+        flat_doc, flat_dl = flat_doc[keep], flat_dl[keep]
+        if len(flat_terms) == 0:
+            return CHUNK_SCHEMA.empty_table()
+
+    # factorize terms; group key = (term, salt) — salt != 0 only for hot terms
+    import pandas as pd
+
+    codes, uniq_terms = pd.factorize(flat_terms, sort=True)
+    salt = np.zeros(len(codes), dtype=np.uint64)
+    if hot_terms and spec.salt_factor > 1:
+        hot_code_mask = np.isin(uniq_terms, list(hot_terms))
+        if hot_code_mask.any():
+            is_hot = hot_code_mask[codes]
+            salt[is_hot] = flat_doc[is_hot] % np.uint64(spec.salt_factor)
+
+    gkey = codes.astype(np.uint64) * np.uint64(spec.salt_factor) + salt
+    order = np.lexsort((flat_doc, gkey))
+    gkey_s = gkey[order]
+    starts = np.flatnonzero(np.diff(gkey_s, prepend=np.uint64(gkey_s[0] + 1)))
+    offsets = np.append(starts, len(gkey_s)).astype(np.int64)
+
+    group_terms = uniq_terms[(gkey_s[starts] // np.uint64(spec.salt_factor)).astype(np.int64)]
+    group_salts = gkey_s[starts] % np.uint64(spec.salt_factor)
+    h = hash_terms(group_terms)
+    parts = ((h + group_salts * _SALT_MIX) % np.uint64(spec.num_partitions)).astype(np.uint32)
+
+    n_groups = len(starts)
+    return pa.table(
+        {
+            "part": pa.array(parts),
+            "term": pa.array(group_terms, type=pa.string()),
+            "field": pa.array(np.full(n_groups, field, dtype=object), type=pa.string()),
+            "doc_ids": pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(flat_doc[order], type=pa.uint64())),
+            "tfs": pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(flat_tfs[order], type=pa.uint32())),
+            "doc_lens": pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(flat_dl[order], type=pa.uint32())),
+        },
+        schema=CHUNK_SCHEMA,
+    )
+
+
+class TokenizeAndCombine:
+    """Callable class for ``map_batches(..., concurrency=N)`` actor pools."""
+
+    def __init__(self, spec: IndexSpec, hot_terms: frozenset[str] = frozenset(),
+                 blacklist: frozenset[str] = frozenset()):
+        self.spec = spec
+        self.hot_terms = frozenset(hot_terms)
+        self.blacklist = frozenset(blacklist)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out = []
+        for fld, (source, tok_name) in self.spec.fields.items():
+            col = batch[source]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            terms, tfs, dls = TOKENIZERS[tok_name](col)
+            tbl = make_chunks(fld, terms, tfs, dls, doc_ids, self.spec,
+                              self.hot_terms, self.blacklist)
+            if tbl.num_rows:
+                out.append(tbl)
+        if not out:
+            return CHUNK_SCHEMA.empty_table()
+        return pa.concat_tables(out)

@@ -1,0 +1,303 @@
+"""Segment writer/reader + per-partition checkpoint manifests.
+
+The on-disk analog of the reference's bucketed index files
+(``InvertedIndexGzHDFSFile``: 1000 ``part-%05d.gz`` files of concatenated
+gzipped token groups, docs/build_inverted_index.md:54-87, writer
+``IndexGzMetaOutputFormat.java:36-98``) and its NoSQL meta
+(``InvertedIndexGzMeta``, poseidon_if.proto:78-83):
+
+    out_dir/
+      docstore/part-XXXXXX.parquet     corpus + doc_id + sha256 (sorted)
+      docstore.json                    docstore manifest (file -> id range)
+      segments/segment-PPPPP.parquet   SEGMENT_SCHEMA rows (one per term)
+      directory/directory-PPPPP.parquet DIRECTORY_SCHEMA rows
+      segments/manifest-PPPPP.json     per-partition checkpoint + metrics
+      index.json                       global manifest (stats, lineage)
+
+A partition manifest is written atomically (tmp + rename) after its segment
+and directory files; build resume skips any partition whose manifest exists
+with the current config hash (north-rule checkpoint semantics — the
+reference only has job-level ``_SUCCESS`` gates).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from poseidon_ray.functions import codec
+from poseidon_ray.schema import DIRECTORY_SCHEMA, SEGMENT_SCHEMA, IndexSpec
+
+SEGMENT_ROW_GROUP = 64  # rows per parquet row group => a term fetch reads one
+                        # small row group, the 40 KB InvertedIndexGz analog
+
+
+def _segmented_delta(ids: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Delta-encode with a reset (absolute value) at each segment start."""
+    deltas = ids.copy()
+    if len(ids) > 1:
+        deltas[1:] = ids[1:] - ids[:-1]  # uint wrap at boundaries is
+    deltas[starts] = ids[starts]         # overwritten right here
+    return deltas
+
+
+def build_segment_partition(group: pa.Table, out_dir: str, spec: IndexSpec) -> pa.Table:
+    """Reduce one term partition of CHUNK_SCHEMA rows into a segment file +
+    directory file + manifest. The A3 reducer analog
+    (InvertedIndexGenerateReducer.java:85-252), fully vectorized: one global
+    lexsort + one varint pass per column, sliced per term by byte offsets.
+
+    Returns a one-row summary table (for driver-side metrics only).
+    """
+    t0 = time.monotonic()
+    part = int(group["part"][0].as_py())
+    seg_path = os.path.join(out_dir, "segments", f"segment-{part:05d}.parquet")
+    dir_path = os.path.join(out_dir, "directory", f"directory-{part:05d}.parquet")
+    man_path = os.path.join(out_dir, "segments", f"manifest-{part:05d}.json")
+
+    # ---- flatten chunk lists to posting arrays
+    doc_l = group["doc_ids"].combine_chunks()
+    row_lens = pc.list_value_length(doc_l).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_doc = doc_l.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    flat_tf = group["tfs"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).astype(np.uint32)
+    flat_dl = group["doc_lens"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).astype(np.uint32)
+
+    terms = group["term"].to_numpy(zero_copy_only=False)
+    fields = group["field"].to_numpy(zero_copy_only=False)
+    keys = pd.MultiIndex.from_arrays([fields, terms])
+    codes, uniq_keys = pd.factorize(keys, sort=True)
+    flat_codes = np.repeat(codes, row_lens)
+
+    order = np.lexsort((flat_doc, flat_codes))
+    flat_doc = flat_doc[order]
+    flat_tf = flat_tf[order]
+    flat_dl = flat_dl[order]
+    flat_codes = flat_codes[order]
+
+    # term boundaries in the flat arrays
+    n = len(flat_doc)
+    starts = np.flatnonzero(np.diff(flat_codes, prepend=-1))
+    ends = np.append(starts[1:], n)
+    n_terms = len(starts)
+
+    # exact stats before any cap (cf stays truthful like the PV sentinel)
+    dfs = (ends - starts).astype(np.uint32)
+    cfs = np.add.reduceat(flat_tf.astype(np.uint64), starts) if n else np.array([], dtype=np.uint64)
+
+    cap = spec.posting_cap
+    truncated = np.zeros(n_terms, dtype=bool)
+    if cap is not None and n and (ends - starts).max() > cap:
+        keep = np.ones(n, dtype=bool)
+        for i in np.flatnonzero((ends - starts) > cap):
+            keep[starts[i] + cap: ends[i]] = False
+            truncated[i] = True
+        flat_doc, flat_tf, flat_dl = flat_doc[keep], flat_tf[keep], flat_dl[keep]
+        flat_codes = flat_codes[keep]
+        n = len(flat_doc)
+        starts = np.flatnonzero(np.diff(flat_codes, prepend=-1))
+        ends = np.append(starts[1:], n)
+        dfs = np.minimum(dfs, cap).astype(np.uint32)
+
+    # ---- one-shot vectorized encode of ALL terms' postings, then per-term
+    # byte-offset slicing (no per-term numpy-call overhead). Block boundaries
+    # are computed globally: they partition the flat arrays exactly.
+    bs = spec.block_size
+    term_lens = ends - starts
+    nblocks_per_term = -(-term_lens // bs)
+    term_of_block = np.repeat(np.arange(n_terms), nblocks_per_term)
+    first_block_of_term = np.concatenate([[0], np.cumsum(nblocks_per_term)])
+    blk_in_term = np.arange(len(term_of_block)) - first_block_of_term[term_of_block]
+    block_start = starts[term_of_block] + blk_in_term * bs
+    block_end = np.minimum(block_start + bs, ends[term_of_block])
+
+    # deltas reset at every term start AND block start (block starts include
+    # term starts by construction)
+    deltas = _segmented_delta(flat_doc, block_start)
+    flat_tf64 = flat_tf.astype(np.uint64)
+    flat_dl64 = flat_dl.astype(np.uint64)
+    doc_bytes = codec.encode_varint(deltas)
+    tf_bytes = codec.encode_varint(flat_tf64)
+    dl_bytes = codec.encode_varint(flat_dl64)
+    off_doc = np.concatenate([[0], np.cumsum(codec.varint_lengths(deltas))])
+    off_tf = np.concatenate([[0], np.cumsum(codec.varint_lengths(flat_tf64))])
+    off_dl = np.concatenate([[0], np.cumsum(codec.varint_lengths(flat_dl64))])
+
+    blocks = np.empty(len(block_start), dtype=codec.BLOCKMAX_DTYPE)
+    if len(block_start):
+        blocks["last"] = flat_doc[block_end - 1]
+        blocks["tf_max"] = np.maximum.reduceat(flat_tf, block_start)
+        blocks["dl_min"] = np.minimum.reduceat(flat_dl, block_start)
+        tstart = starts[term_of_block]
+        blocks["off_doc"] = off_doc[block_start] - off_doc[tstart]
+        blocks["off_tf"] = off_tf[block_start] - off_tf[tstart]
+        blocks["off_dl"] = off_dl[block_start] - off_dl[tstart]
+    bm_bytes = blocks.tobytes()
+    bm_itemsize = codec.BLOCKMAX_DTYPE.itemsize
+
+    post_col, tf_col, dl_col, bm_col = [], [], [], []
+    for i in range(n_terms):
+        s, e = starts[i], ends[i]
+        post_col.append(doc_bytes[off_doc[s]:off_doc[e]])
+        tf_col.append(tf_bytes[off_tf[s]:off_tf[e]])
+        dl_col.append(dl_bytes[off_dl[s]:off_dl[e]])
+        bm_col.append(bm_bytes[first_block_of_term[i] * bm_itemsize:
+                               first_block_of_term[i + 1] * bm_itemsize])
+
+    out_fields = np.array([k[0] for k in uniq_keys], dtype=object)
+    out_terms = np.array([k[1] for k in uniq_keys], dtype=object)
+    segment = pa.table(
+        {
+            "term": pa.array(out_terms, type=pa.string()),
+            "field": pa.array(out_fields, type=pa.string()),
+            "df": pa.array(dfs, type=pa.uint32()),
+            "cf": pa.array(cfs, type=pa.uint64()),
+            "cf_truncated": pa.array(truncated),
+            "postings": pa.array(post_col, type=pa.large_binary()),
+            "tf_bytes": pa.array(tf_col, type=pa.large_binary()),
+            "dl_bytes": pa.array(dl_col, type=pa.large_binary()),
+            "blockmax": pa.array(bm_col, type=pa.large_binary()),
+        },
+        schema=SEGMENT_SCHEMA,
+    )
+    directory = pa.table(
+        {
+            "term": segment["term"],
+            "field": segment["field"],
+            "part": pa.array(np.full(n_terms, part, dtype=np.uint32)),
+            "segment_path": pa.array([seg_path] * n_terms, type=pa.string()),
+            "row_index": pa.array(np.arange(n_terms, dtype=np.uint32)),
+            "df": segment["df"],
+            "cf": segment["cf"],
+            "cf_truncated": segment["cf_truncated"],
+        },
+        schema=DIRECTORY_SCHEMA,
+    )
+
+    os.makedirs(os.path.dirname(seg_path), exist_ok=True)
+    os.makedirs(os.path.dirname(dir_path), exist_ok=True)
+    for path, tbl in ((seg_path, segment), (dir_path, directory)):
+        pq.write_table(tbl, path + ".tmp", row_group_size=SEGMENT_ROW_GROUP,
+                       compression="zstd")
+        os.replace(path + ".tmp", path)
+
+    manifest = {
+        "partition": part,
+        "config_hash": spec.config_hash(),
+        "terms": int(n_terms),
+        "postings": int(n),
+        "bytes": int(os.path.getsize(seg_path)),
+        "build_ms": int((time.monotonic() - t0) * 1000),
+        "cf_total_by_field": {
+            f: int(cfs[out_fields == f].sum()) for f in set(out_fields.tolist())
+        },
+        "truncated_terms": int(truncated.sum()),
+    }
+    with open(man_path + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.replace(man_path + ".tmp", man_path)
+
+    return pa.table({
+        "part": pa.array([part], type=pa.uint32()),
+        "terms": pa.array([n_terms], type=pa.int64()),
+        "postings": pa.array([n], type=pa.int64()),
+        "build_ms": pa.array([manifest["build_ms"]], type=pa.int64()),
+    })
+
+
+def completed_partitions(out_dir: str, spec: IndexSpec) -> set[int]:
+    """Partitions whose checkpoint manifest exists with the current config
+    hash (stale-config manifests are ignored => rebuilt)."""
+    seg_dir = os.path.join(out_dir, "segments")
+    done: set[int] = set()
+    if not os.path.isdir(seg_dir):
+        return done
+    want = spec.config_hash()
+    for name in os.listdir(seg_dir):
+        if name.startswith("manifest-") and name.endswith(".json"):
+            with open(os.path.join(seg_dir, name)) as f:
+                m = json.load(f)
+            if m.get("config_hash") == want:
+                done.add(m["partition"])
+    return done
+
+
+def load_partition_manifests(out_dir: str) -> list[dict]:
+    seg_dir = os.path.join(out_dir, "segments")
+    out = []
+    for name in sorted(os.listdir(seg_dir)):
+        if name.startswith("manifest-") and name.endswith(".json"):
+            with open(os.path.join(seg_dir, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def write_index_manifest(out_dir: str, spec: IndexSpec, num_docs: int) -> dict:
+    """Global manifest: corpus stats + per-field BM25 statistics.
+
+    avgdl falls out of the directory: sum over docs of |d| == sum over terms
+    of cf (every token occurrence counted exactly once on both sides), so no
+    doc-length table is ever materialized.
+    """
+    parts = load_partition_manifests(out_dir)
+    cf_by_field: dict[str, int] = {}
+    for m in parts:
+        for fld, cf in m["cf_total_by_field"].items():
+            cf_by_field[fld] = cf_by_field.get(fld, 0) + cf
+    manifest = {
+        "config_hash": spec.config_hash(),
+        "num_docs": int(num_docs),
+        "num_partitions": spec.num_partitions,
+        "fields": {
+            fld: {
+                "cf_total": cf,
+                "avgdl": (cf / num_docs) if num_docs else 0.0,
+            }
+            for fld, cf in cf_by_field.items()
+        },
+        "bm25": {"k1": spec.bm25.k1, "b": spec.bm25.b},
+        "block_size": spec.block_size,
+        "partitions": parts,
+    }
+    path = os.path.join(out_dir, "index.json")
+    with open(path + ".tmp", "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(path + ".tmp", path)
+    return manifest
+
+
+def load_index_manifest(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "index.json")) as f:
+        return json.load(f)
+
+
+def load_directory(out_dir: str) -> pa.Table:
+    dir_dir = os.path.join(out_dir, "directory")
+    tables = [
+        pq.read_table(os.path.join(dir_dir, n))
+        for n in sorted(os.listdir(dir_dir))
+        if n.endswith(".parquet")
+    ]
+    return pa.concat_tables(tables) if tables else DIRECTORY_SCHEMA.empty_table()
+
+
+class SegmentReader:
+    """Row-group-pruned access to one segment file (query-side J2 analog:
+    ranged read of one ~40 KB token group instead of the whole bucket)."""
+
+    def __init__(self, path: str):
+        self._pf = pq.ParquetFile(path, memory_map=True)
+
+    def read_row(self, row_index: int, columns: list[str] | None = None) -> dict:
+        rg = row_index // SEGMENT_ROW_GROUP
+        local = row_index % SEGMENT_ROW_GROUP
+        tbl = self._pf.read_row_group(rg, columns=columns)
+        return {c: tbl[c][local].as_py() for c in tbl.column_names}

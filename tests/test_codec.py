@@ -61,15 +61,39 @@ def test_blockmax(block_size):
     ids = np.cumsum(rng.integers(1, 50, n)).astype(np.uint64)
     tfs = rng.integers(1, 30, n).astype(np.uint32)
     dls = rng.integers(10, 5000, n).astype(np.uint32)
-    impacts = codec.bm25_impacts(tfs, dls, avgdl=900.0, k1=1.2, b=0.75)
-    bm = codec.encode_blockmax(ids, impacts, block_size)
-    last, mx = codec.decode_blockmax(bm)
+    bm = codec.decode_blockmax(codec.encode_blockmax(ids, tfs, dls, block_size))
     nblocks = (n + block_size - 1) // block_size
-    assert len(last) == nblocks == len(mx)
+    assert len(bm) == nblocks
+    k1, b, avgdl, idf = 1.2, 0.75, 900.0, 2.5
+    ub = codec.block_upper_bounds(bm["tf_max"], bm["dl_min"], idf, avgdl, k1, b)
+    impacts = codec.bm25_impacts(tfs, dls, avgdl, k1, b)
+    scores = idf * (k1 + 1.0) * impacts
+    doc_bytes = codec.encode_postings(ids, block_size)
+    tf_bytes = codec.encode_varint(tfs.astype(np.uint64))
+    dl_bytes = codec.encode_varint(dls.astype(np.uint64))
     for i in range(nblocks):
         lo, hi = i * block_size, min((i + 1) * block_size, n)
-        assert last[i] == ids[hi - 1]
-        assert mx[i] == impacts[lo:hi].max()  # exact max => valid WAND bound
+        assert bm["last"][i] == ids[hi - 1]
+        assert bm["tf_max"][i] == tfs[lo:hi].max()
+        assert bm["dl_min"][i] == dls[lo:hi].min()
+        # the WAND safety property: bound dominates every real score in block
+        assert ub[i] >= scores[lo:hi].max() - 1e-12
+        # block-independent decode via stored byte offsets
+        end_doc = bm["off_doc"][i + 1] if i + 1 < nblocks else len(doc_bytes)
+        blk = codec.decode_varint(doc_bytes[bm["off_doc"][i]:end_doc])
+        np.testing.assert_array_equal(np.cumsum(blk, dtype=np.uint64), ids[lo:hi])
+        end_tf = bm["off_tf"][i + 1] if i + 1 < nblocks else len(tf_bytes)
+        np.testing.assert_array_equal(
+            codec.decode_varint(tf_bytes[bm["off_tf"][i]:end_tf]), tfs[lo:hi])
+
+
+@pytest.mark.parametrize("block_size", [1, 3, 64, 128])
+def test_blocked_postings_roundtrip(block_size):
+    rng = np.random.default_rng(7)
+    for n in [0, 1, 5, 64, 128, 129, 1000]:
+        ids = np.cumsum(rng.integers(1, 1000, n)).astype(np.uint64)
+        enc = codec.encode_postings(ids, block_size)
+        np.testing.assert_array_equal(codec.decode_postings(enc, block_size), ids)
 
 
 def test_intersect_sorted():
