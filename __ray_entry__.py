@@ -1,44 +1,61 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in poseidon_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship pipeline on sf0.001: build the inverted index
+                     over the documents corpus (full spec: code + trigram +
+                     keyword fields) and run the BM25 query set; returns the
+                     ranked-hits table.
+- ``queries()``    — one callable per operator pipeline (SURVEY.md §2 +
+                     training-data ops); each takes sf_dir.
+- ``oracle_sql()`` — DuckDB twins for the SQL-expressible subset.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pyarrow as pa
+
+    from poseidon_ray.pipelines.build import build_index
+    from poseidon_ray.pipelines.ops import docs_as_corpus
+    from poseidon_ray.pipelines.query import Searcher
+    from poseidon_ray.schema import IndexSpec
+
+    sf_dir = "/root/testdata/sf0.001"
+    spec = IndexSpec(num_partitions=8,
+                     static_hot_terms=("the", "a", "and", "value", "table"))
+    tag = hashlib.sha1(f"entry:{sf_dir}".encode()).hexdigest()[:10]
+    out = f"/tmp/poseidon_ray_entry_{tag}"
+    build_index(docs_as_corpus(sf_dir), out, spec)
+    s = Searcher(out)
+    rows = []
+    for qname, text, field, mode in [
+        ("hot", "table value", "content", "or"),
+        ("and2", "table window", "content", "and"),
+        ("trigram", "windo", "content3", "and"),
+        ("lang", "en", "lang", "or"),
+    ]:
+        for rank, (doc, score) in enumerate(
+            s.search(text, field=field, mode=mode, k=10)
+        ):
+            rows.append({"query": qname, "rank": rank, "doc_id": int(doc),
+                         "score": float(score)})
+    return pa.Table.from_pylist(rows)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from poseidon_ray.pipelines.ops import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from poseidon_ray.pipelines.ops import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

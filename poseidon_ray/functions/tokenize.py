@@ -222,11 +222,27 @@ def tokenize_path(values: pa.Array) -> tuple[list, list, np.ndarray]:
     return terms_out, tfs_out, doc_len
 
 
+def tokenize_simple(values: pa.Array) -> tuple[list, list, np.ndarray]:
+    """Lowercase + split on non-alphanumeric, keep every non-empty token.
+    Deliberately SQL-replicable (DuckDB:
+    ``unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))``) so the
+    driver's DuckDB oracle can check the full build pipeline's df/cf and
+    conjunctive-search outputs."""
+    values = pc.fill_null(values, "")
+    split = pc.split_pattern_regex(pc.utf8_lower(values), "[^a-z0-9]+")
+    flat, parents = _flatten_with_parents(split)
+    nonempty = pc.not_equal(pc.utf8_length(flat), 0)
+    flat = flat.filter(nonempty)
+    parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+    return _aggregate_tf(flat.to_numpy(zero_copy_only=False), parents, len(values))
+
+
 TOKENIZERS = {
     "code": tokenize_code,
     "trigram": tokenize_trigram,
     "keyword": tokenize_keyword,
     "path": tokenize_path,
+    "simple": tokenize_simple,
 }
 
 

@@ -1,0 +1,381 @@
+"""Driver-facing operator pipelines over the testdata tables — the backend
+of ``__ray_entry__.queries()`` / ``oracle_sql()``.
+
+Every SQL-oracled query returns ONLY exact-typed columns (int64/strings;
+floats only where both sides compute the identical IEEE expression), with
+identical column names to its SQL twin, so the driver's order-insensitive
+value-hash can match.
+
+The index-based queries (term_stats, search_and, bm25 topk) run the REAL
+build+query engine over ``documents`` adapted to the corpus shape
+(repo=source, path=str(doc_id), commit=sha-prefix, content=text) with the
+SQL-replicable ``simple`` tokenizer — so DuckDB checks the whole pipeline:
+docIDs, shuffle, segment encode/decode, directory stats, intersection.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from poseidon_ray.functions import textstats
+from poseidon_ray.pipelines.build import build_index
+from poseidon_ray.pipelines.query import Searcher
+from poseidon_ray.schema import IndexSpec
+from poseidon_ray.stages import ann, dedup
+
+# tokens chosen to exist in the synthetic documents vocabulary
+AND_TERMS = ("table", "window")
+BM25_QUERY = "table window scan"
+N_ANN_QUERIES = 5
+ANN_K = 10
+
+
+def _collect(ds, empty_schema: pa.Schema | None = None) -> pa.Table:
+    """Materialize a (small, already-reduced) Dataset as one Arrow table.
+    ``empty_schema`` keeps the output typed when zero rows survive."""
+    import ray as _ray
+
+    tables = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return (empty_schema or pa.schema([])).empty_table()
+    return pa.concat_tables(tables, promote_options="default")
+
+
+_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                          ("est_jaccard", pa.float64())])
+_SIM_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                         ("hamming", pa.int64())])
+_VEC_SCHEMA = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                         ("cosine", pa.float64())])
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def docs_as_corpus(sf_dir: str) -> ray.data.Dataset:
+    """documents -> corpus shape. path embeds the original doc_id
+    zero-padded, so the (repo, path, commit) sort order equals doc_id order
+    and engine docIDs map back by rank."""
+
+    def adapt(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        paths = [f"doc/{i:012d}" for i in ids]
+        commits = [hashlib.sha1(p.encode()).hexdigest() for p in paths]
+        return pa.table({
+            "repo": pa.array(["corpus/documents"] * t.num_rows),
+            "path": pa.array(paths),
+            "commit": pa.array(commits),
+            "lang": t["lang"],
+            "content": t["text"],
+        })
+
+    return _docs(sf_dir).map_batches(adapt, batch_format="pyarrow")
+
+
+ORACLE_SPEC = IndexSpec(
+    fields={"text": ("content", "simple"), "lang": ("lang", "keyword")},
+    num_partitions=8,
+)
+
+
+def oracle_index_dir(sf_dir: str) -> str:
+    """Build (once; manifest fast-path makes repeats free) the oracle-spec
+    index for this sf_dir under /tmp."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/poseidon_ray_idx_{tag}"
+    build_index(docs_as_corpus(sf_dir), out, ORACLE_SPEC)
+    return out
+
+
+def _docid_map(index_dir: str) -> np.ndarray:
+    """engine doc_id (dense rank) -> original documents.doc_id, via the
+    docstore's path column."""
+    import json
+
+    with open(os.path.join(index_dir, "docstore.json")) as f:
+        man = json.load(f)
+    orig = np.empty(man["num_docs"], dtype=np.int64)
+    for fi in man["files"]:
+        t = pq.read_table(fi["path"], columns=["doc_id", "path"])
+        eng = t["doc_id"].to_numpy(zero_copy_only=False)
+        orig[eng - 0] = [int(p.rsplit("/", 1)[1]) for p in t["path"].to_pylist()]
+    return orig
+
+
+# ------------------------------------------------------------- SQL-oracled
+
+def q_term_stats(sf_dir: str) -> pa.Table:
+    """Full-engine df/cf per term (directory stats, salted shards summed)."""
+    idx = oracle_index_dir(sf_dir)
+    s = Searcher(idx)
+    terms, dfs, cfs = [], [], []
+    for (fld, term), e in sorted(s._dir.items()):
+        if fld != "text":
+            continue
+        terms.append(term)
+        dfs.append(int(e["df"]))
+        cfs.append(int(e["cf"]))
+    return pa.table({
+        "term": pa.array(terms, type=pa.string()),
+        "df": pa.array(dfs, type=pa.int64()),
+        "cf": pa.array(cfs, type=pa.int64()),
+    })
+
+
+def q_search_and(sf_dir: str) -> pa.Table:
+    """Conjunctive posting intersection, mapped back to original doc_ids."""
+    from poseidon_ray.functions import codec
+
+    idx = oracle_index_dir(sf_dir)
+    s = Searcher(idx)
+    lists = [s.postings("text", t)[0] for t in AND_TERMS]
+    hits = codec.intersect_sorted(lists)
+    mapping = _docid_map(idx)
+    out = np.sort(mapping[hits.astype(np.int64)])
+    return pa.table({"doc_id": pa.array(out, type=pa.int64())})
+
+
+def q_token_count_topk(sf_dir: str) -> pa.Table:
+    ds = _docs(sf_dir)
+
+    def counts(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": textstats.token_count(col),
+        })
+
+    out = ds.map_batches(counts, batch_format="pyarrow") \
+            .sort(["n_tokens", "doc_id"], descending=[True, False]) \
+            .limit(50)
+    return _collect(out)
+
+
+def q_exact_dedup(sf_dir: str) -> pa.Table:
+    groups = _collect(dedup.exact_dedup_groups(_docs(sf_dir)))
+    return groups.select(["keep_id", "n_copies"]).sort_by("keep_id")
+
+
+def q_lang_dist(sf_dir: str) -> pa.Table:
+    ds = _docs(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"lang": t["lang"].to_pylist(),
+                           "n_chars": t["n_chars"].to_pylist()})
+        g = df.groupby("lang", sort=True).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    # partial per block, then a tiny final combine (combiner pattern)
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    final = partials.groupby("lang", sort=True, as_index=False).sum()
+    final["n_docs"] = final["n_docs"].astype("int64")
+    final["total_chars"] = final["total_chars"].astype("int64")
+    return pa.Table.from_pandas(final, preserve_index=False)
+
+
+def q_quality_stats(sf_dir: str) -> pa.Table:
+    ds = _docs(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        c = textstats.char_class_counts(col)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_chars_calc": c["n_chars"],
+            "n_punct": c["n_punct"],
+            "n_digits": c["n_digits"],
+            "n_spaces": c["n_spaces"],
+        })
+
+    return _collect(ds.map_batches(stats, batch_format="pyarrow"))
+
+
+def q_events_pv(sf_dir: str) -> pa.Table:
+    """PV/UV per event_type (the reference's pv/uv sentinel semantics A5:
+    pv = occurrence count, uv = distinct users — which the reference stubs
+    to 0; here it's real)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    pv = ds.groupby("event_type").count().to_pandas().rename(
+        columns={"count()": "pv"})
+    distinct = ds.groupby(["event_type", "user_id"]).count().to_pandas()
+    uv = distinct.groupby("event_type", as_index=False).size().rename(
+        columns={"size": "uv"})
+    merged = pv.merge(uv, on="event_type").sort_values("event_type")
+    merged["pv"] = merged["pv"].astype("int64")
+    merged["uv"] = merged["uv"].astype("int64")
+    return pa.Table.from_pandas(merged[["event_type", "pv", "uv"]],
+                                preserve_index=False)
+
+
+def q_ann_topk(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-k; query vectors = first N_ANN_QUERIES rows."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    head = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mask = pc.less(head["vec_id"], N_ANN_QUERIES)
+    qtab = head.filter(mask)
+    queries = np.stack(qtab["embedding"].to_pylist()).astype(np.float64)
+    qids = qtab["vec_id"].to_numpy(zero_copy_only=False)
+    out = ann.brute_force_topk(ds, queries, qids, k=ANN_K)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+# ------------------------------------------------------------- rows-only
+
+def q_bm25_topk(sf_dir: str) -> pa.Table:
+    idx = oracle_index_dir(sf_dir)
+    s = Searcher(idx)
+    hits = s.search(BM25_QUERY, field="text", mode="or", k=20,
+                    tokenizer="simple", algorithm="wand")
+    mapping = _docid_map(idx)
+    return pa.table({
+        "rank": pa.array(range(len(hits)), type=pa.int64()),
+        "doc_id": pa.array([int(mapping[d]) for d, _ in hits], type=pa.int64()),
+        "score": pa.array([sc for _, sc in hits], type=pa.float64()),
+    })
+
+
+def q_minhash_pairs(sf_dir: str) -> pa.Table:
+    out = _collect(dedup.minhash_candidate_pairs(_docs(sf_dir), min_jaccard=0.4), _PAIR_SCHEMA)
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+def q_simhash_pairs(sf_dir: str) -> pa.Table:
+    out = _collect(dedup.simhash_pairs(_docs(sf_dir), max_hamming=10), _SIM_SCHEMA)
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+def q_embed_neardup(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = _collect(dedup.embedding_neardup_pairs(ds, dim=64, min_cosine=0.8), _VEC_SCHEMA)
+    return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
+def q_langid(sf_dir: str) -> pa.Table:
+    def lid(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "pred_lang": textstats.detect_language(col),
+        })
+
+    return _collect(_docs(sf_dir).map_batches(lid, batch_format="pyarrow")).sort_by("doc_id")
+
+
+def q_fingerprint(sf_dir: str) -> pa.Table:
+    def fp(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "fingerprint": textstats.rolling_fingerprint(col),
+            "simhash": textstats.simhash64(col),
+        })
+
+    return _collect(_docs(sf_dir).map_batches(fp, batch_format="pyarrow")).sort_by("doc_id")
+
+
+def q_ivf_ann(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    head = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qtab = head.filter(pc.less(head["vec_id"], N_ANN_QUERIES))
+    queries = np.stack(qtab["embedding"].to_pylist()).astype(np.float64)
+    qids = qtab["vec_id"].to_numpy(zero_copy_only=False)
+    return ann.ivf_topk(ds, queries, qids, k=ANN_K)
+
+
+# ------------------------------------------------------------- oracle SQL
+
+_TOKS_CTE = (
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+')) AS term FROM documents)"
+)
+
+ORACLE_SQL: dict[str, str] = {
+    "term_stats": (
+        f"{_TOKS_CTE} SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, "
+        "CAST(count(*) AS BIGINT) AS cf FROM toks WHERE term <> '' GROUP BY term"
+    ),
+    "search_and": (
+        f"{_TOKS_CTE} SELECT CAST(doc_id AS BIGINT) AS doc_id FROM toks "
+        f"WHERE term IN ('{AND_TERMS[0]}', '{AND_TERMS[1]}') "
+        f"GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY doc_id"
+    ),
+    "token_count_topk": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), "
+        "x -> x <> '')) AS BIGINT) AS n_tokens "
+        "FROM documents ORDER BY n_tokens DESC, doc_id LIMIT 50"
+    ),
+    "exact_dedup": (
+        "SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, "
+        "CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text "
+        "ORDER BY keep_id"
+    ),
+    "lang_dist": (
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents "
+        "GROUP BY lang ORDER BY lang"
+    ),
+    "quality_stats": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(length(text) AS BIGINT) AS n_chars_calc, "
+        "CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct, "
+        "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits, "
+        "CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_spaces "
+        "FROM documents"
+    ),
+    "events_pv": (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS pv, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS uv FROM events "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    "ann_topk": (
+        "SELECT CAST(q.vec_id AS BIGINT) AS query_id, "
+        "CAST(e.vec_id AS BIGINT) AS vec_id, "
+        "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) - 1 AS BIGINT) AS rank "
+        f"FROM embeddings q, embeddings e WHERE q.vec_id < {N_ANN_QUERIES} "
+        f"QUALIFY rank < {ANN_K} ORDER BY query_id, rank"
+    ),
+}
+
+QUERIES = {
+    "term_stats": q_term_stats,
+    "search_and": q_search_and,
+    "token_count_topk": q_token_count_topk,
+    "exact_dedup": q_exact_dedup,
+    "lang_dist": q_lang_dist,
+    "quality_stats": q_quality_stats,
+    "events_pv": q_events_pv,
+    "ann_topk": q_ann_topk,
+    # rows-only (non-SQL-expressible: engine internals / sketches / ANN
+    # approximations)
+    "bm25_topk": q_bm25_topk,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embed_neardup": q_embed_neardup,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "ivf_ann": q_ivf_ann,
+}

@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk`` — exact cosine top-k: the query matrix is broadcast
+  ONCE via ray.put; every batch does one numpy matmul and emits only its
+  local top-k candidates, so the driver merge sees k*num_blocks rows, never
+  the corpus.
+- ``ivf_topk`` — the scale path: a seeded mini-KMeans (trained on a sample,
+  driver-side, centroids broadcast) partitions vectors into lists; queries
+  probe only the nearest ``n_probe`` lists. Returns the same schema, with
+  recall traded for touched-vector count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _batch_topk_table(scores: np.ndarray, ids: np.ndarray, query_ids: np.ndarray,
+                      k: int) -> pa.Table:
+    """Per-query local top-k of one score block (queries x batch)."""
+    q_out, v_out, s_out = [], [], []
+    kk = min(k, scores.shape[1])
+    for qi in range(scores.shape[0]):
+        row = scores[qi]
+        idx = np.argpartition(-row, kk - 1)[:kk]
+        q_out.extend([int(query_ids[qi])] * len(idx))
+        v_out.extend(ids[idx].tolist())
+        s_out.extend(row[idx].tolist())
+    return pa.table({
+        "query_id": pa.array(q_out, type=pa.int64()),
+        "vec_id": pa.array(v_out, type=pa.int64()),
+        "score": pa.array(s_out, type=pa.float64()),
+    })
+
+
+def _final_topk(cands: pa.Table, k: int) -> pa.Table:
+    """Driver merge of per-batch candidates: top-k per query with the
+    (score desc, vec_id asc) tiebreak."""
+    import pandas as pd
+
+    df = cands.to_pandas()
+    df = df.sort_values(["query_id", "score", "vec_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount().astype("int64")
+    return pa.Table.from_pandas(df[["query_id", "vec_id", "rank", "score"]],
+                                preserve_index=False)
+
+
+def brute_force_topk(ds: ray.data.Dataset, queries: np.ndarray,
+                     query_ids: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> pa.Table:
+    """Exact cosine top-k for ``queries`` (Q x dim) against every vector."""
+    q_unit = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q_unit)
+    qid = np.asarray(query_ids, dtype=np.int64)
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        vecs = _normalize(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return _batch_topk_table(q @ vecs.T, ids, qid, k)
+
+    cands = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
+    import pyarrow as _pa
+
+    tables = [t for t in ray.get(cands.to_arrow_refs()) if t.num_rows]
+    return _final_topk(_pa.concat_tables(tables), k)
+
+
+def train_centroids(ds: ray.data.Dataset, n_clusters: int, *, dim: int,
+                    sample_frac: float = 0.5, iters: int = 10, seed: int = 42,
+                    vec_col: str = "embedding") -> np.ndarray:
+    """Seeded mini-KMeans on a sample (Lloyd's, driver-side numpy — the
+    training set is a bounded sample, not the corpus)."""
+    sample = ds.random_sample(sample_frac, seed=seed)
+    mats = [np.stack(b[vec_col].to_pylist())
+            for b in sample.iter_batches(batch_format="pyarrow")
+            if b.num_rows]
+    x = _normalize(np.concatenate(mats).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: np.ndarray,
+             k: int = 10, *, n_clusters: int = 16, n_probe: int = 4,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> pa.Table:
+    """IVF-flat: probe only the n_probe nearest inverted lists per query."""
+    dim = len(queries[0])
+    cent = train_centroids(ds, n_clusters, dim=dim, seed=seed, vec_col=vec_col)
+    cent_ref = ray.put(cent)
+    q_unit = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(q_unit @ cent.T), axis=1)[:, :n_probe]
+    # union of probed lists across queries; per-query mask at scoring time
+    probe_sets = [set(row.tolist()) for row in probes]
+    probed_ref = ray.put(probes)
+    q_ref = ray.put(q_unit)
+    qid = np.asarray(query_ids, dtype=np.int64)
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        q = ray.get(q_ref)
+        pr = ray.get(probed_ref)
+        vecs = _normalize(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        assign = np.argmax(vecs @ c.T, axis=1)
+        out = []
+        scores = q @ vecs.T
+        for qi in range(len(q)):
+            mask = np.isin(assign, pr[qi])
+            if not mask.any():
+                continue
+            sub = scores[qi][mask]
+            sub_ids = ids[mask]
+            kk = min(k, len(sub))
+            idx = np.argpartition(-sub, kk - 1)[:kk]
+            out.append(pa.table({
+                "query_id": pa.array([int(qid[qi])] * len(idx), type=pa.int64()),
+                "vec_id": pa.array(sub_ids[idx], type=pa.int64()),
+                "score": pa.array(sub[idx], type=pa.float64()),
+            }))
+        if not out:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        return pa.concat_tables(out)
+
+    cands = ds.map_batches(score_batch, batch_format="pyarrow", batch_size=4096)
+    import pyarrow as _pa
+
+    tables = [t for t in ray.get(cands.to_arrow_refs()) if t.num_rows]
+    return _final_topk(_pa.concat_tables(tables), k)
