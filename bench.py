@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; also the local feedback loop).
+
+Default mode: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and
+print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {stage: sec, ...}, "sf": ..., "num_cpus": N}
+
+--scaling: run the identical build+query job in FRESH subprocesses at
+N and 4N cpus (default 8 and 32) on the same input — the sandbox stand-in
+for two cluster sizes (BASELINE.md protocol) — and report throughput at
+both plus efficiency = (T_N / T_4N) / 4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def run_headline(sf_dir: str, num_cpus: int, workdir: str) -> dict:
+    """Full-spec index build over the documents corpus + query workload +
+    the main training-data ops. Returns {stage: seconds} + derived stats."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from poseidon_ray.pipelines.build import build_index
+    from poseidon_ray.pipelines.ops import docs_as_corpus
+    from poseidon_ray.pipelines.query import Searcher
+    from poseidon_ray.schema import IndexSpec
+    from poseidon_ray.stages import ann, dedup
+
+    timings: dict[str, float] = {}
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir, exist_ok=True)
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    total_bytes = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+
+    # --- index build (code + trigram + keyword fields — the heavy pipeline)
+    spec = IndexSpec(
+        fields={
+            "content": ("content", "code"),
+            "content3": ("content", "trigram"),
+            "lang": ("lang", "keyword"),
+            "path": ("path", "path"),
+        },
+        num_partitions=32,
+        static_hot_terms=("the", "a", "and", "value", "table", "row", "fast"),
+    )
+    t0 = time.monotonic()
+    manifest = build_index(docs_as_corpus(sf_dir), os.path.join(workdir, "idx"),
+                           spec, tokenize_concurrency=(1, max(2, num_cpus)),
+                           tokenize_batch_size=128)
+    timings["build_index"] = time.monotonic() - t0
+
+    # --- query workload: mixed AND/OR/WAND/trigram/count, 60 queries
+    t0 = time.monotonic()
+    s = Searcher(os.path.join(workdir, "idx"))
+    lat = []
+    qset = []
+    words = ["table", "value", "window", "scan", "batch", "spark", "row",
+             "query", "agg", "join", "sort", "stream", "vector", "group"]
+    for i, w in enumerate(words):
+        qset.append((w, "content", "or", "exhaustive"))
+        qset.append((f"{w} {words[(i + 1) % len(words)]}", "content", "and", "exhaustive"))
+        qset.append((f"{w} {words[(i + 2) % len(words)]} {words[(i + 5) % len(words)]}",
+                     "content", "or", "wand"))
+        qset.append((w[:4], "content3", "and", "exhaustive"))
+    for text, field, mode, algo in qset:
+        tq = time.monotonic()
+        s.search(text, field=field, mode=mode, k=10, algorithm=algo)
+        lat.append(time.monotonic() - tq)
+    timings["query_set"] = time.monotonic() - t0
+    lat_ms = np.array(lat) * 1000.0
+
+    # --- training-data ops
+    t0 = time.monotonic()
+    dedup.exact_dedup_groups(
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    ).materialize()
+    timings["exact_dedup"] = time.monotonic() - t0
+
+    # threshold 0.8 with 16 bands x 8 rows: the S-curve puts the collision
+    # knee near 0.8 — the synthetic docs share a ~40-word vocabulary, so a
+    # lower threshold makes nearly every pair a true near-dup (quadratic
+    # output that measures the data, not the stage)
+    t0 = time.monotonic()
+    dedup.minhash_candidate_pairs(
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet")),
+        min_jaccard=0.8, bands=16, concurrency=(1, max(2, num_cpus // 2)),
+    ).materialize()
+    timings["minhash_dedup"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    head = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = np.stack(head["embedding"][:16].to_pylist()).astype(np.float64)
+    ann.brute_force_topk(emb, queries, np.arange(16), k=10)
+    timings["ann_topk"] = time.monotonic() - t0
+
+    return {
+        "timings": timings,
+        "num_docs": n_docs,
+        "input_bytes": total_bytes,
+        "build_files_per_sec": n_docs / timings["build_index"],
+        "build_mb_per_sec": total_bytes / 1e6 / timings["build_index"],
+        "query_p50_ms": float(np.percentile(lat_ms, 50)),
+        "query_p99_ms": float(np.percentile(lat_ms, 99)),
+        "index_terms": sum(p["terms"] for p in manifest["partitions"]),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--run-once", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+    num_cpus = args.num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        out = {}
+        for n in (max(2, num_cpus // 4), num_cpus):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run-once",
+                 "--num-cpus", str(n), "--sf-dir", args.sf_dir],
+                capture_output=True, text=True, check=True)
+            out[n] = json.loads(r.stdout.strip().splitlines()[-1])
+        lo, hi = sorted(out)
+        t_lo = out[lo]["queries"]["build_index"]
+        t_hi = out[hi]["queries"]["build_index"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency_build",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "queries": {f"build_sec_cpus{n}": out[n]["queries"]["build_index"]
+                        for n in out} |
+                       {f"files_per_sec_cpus{n}": out[n]["build_files_per_sec"]
+                        for n in out},
+            "sf": args.sf_dir,
+            "num_cpus": num_cpus,
+        }))
+        return
+
+    _init_ray(num_cpus)
+    import ray
+
+    stats = run_headline(args.sf_dir, num_cpus,
+                         workdir=f"/tmp/poseidon_bench_{num_cpus}")
+    ray.shutdown()
+    result = {
+        "metric": "index_build_plus_query_wall_sec",
+        "value": round(sum(stats["timings"].values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in stats["timings"].items()},
+        "sf": args.sf_dir,
+        "num_cpus": num_cpus,
+        "build_files_per_sec": round(stats["build_files_per_sec"], 1),
+        "build_mb_per_sec": round(stats["build_mb_per_sec"], 2),
+        "query_p50_ms": round(stats["query_p50_ms"], 2),
+        "query_p99_ms": round(stats["query_p99_ms"], 2),
+        "num_docs": stats["num_docs"],
+        "index_terms": stats["index_terms"],
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

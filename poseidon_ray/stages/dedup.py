@@ -78,22 +78,36 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
 
 # ------------------------------------------------------------------ pair emission
 
-def _pairs_from_bucket(ids: np.ndarray, payload: np.ndarray | None = None,
-                       max_bucket: int = 256):
-    """All (a<b) pairs of a bucket, capped to guard degenerate buckets
-    (cap is accounted, mirroring the reference's skew caps A6)."""
-    ids = ids[:max_bucket]
-    n = len(ids)
-    if n < 2:
+N_PAIR_SHARDS = 1024  # coarse shuffle key: thousands of fine LSH buckets per
+                      # group, so per-group Python overhead amortizes
+
+
+def _shard_pair_indices(buckets_sorted: np.ndarray, max_bucket: int = 256):
+    """(ia, ib) GLOBAL index pairs for every fine bucket inside one shard —
+    the input must be sorted by bucket. One small Python loop over buckets
+    builds index lists; everything downstream is one vectorized pass."""
+    starts = np.flatnonzero(np.diff(buckets_sorted,
+                                    prepend=buckets_sorted[0] + 1))
+    ends = np.append(starts[1:], len(buckets_sorted))
+    ia_all, ib_all = [], []
+    for s, e in zip(starts, ends):
+        n = min(e - s, max_bucket)
+        if n >= 2:
+            iu = np.triu_indices(n, k=1)
+            ia_all.append(iu[0] + s)
+            ib_all.append(iu[1] + s)
+    if not ia_all:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    iu = np.triu_indices(n, k=1)
-    return ids[iu[0]], ids[iu[1]]
+    return np.concatenate(ia_all), np.concatenate(ib_all)
 
 
 # ------------------------------------------------------------------ minhash LSH
 
 class MinHashStage:
-    """Actor-pool batch fn: doc -> signature + band bucket rows."""
+    """Actor-pool batch fn: doc -> one row per band, fully vectorized
+    (one hash pass + one permutation matrix op per batch). Signatures are
+    truncated to uint32 for the shuffle (equality semantics survive; a
+    2^-32 truncation collision only nudges an estimate)."""
 
     def __init__(self, num_perm: int = 128, bands: int = 32, shingle_k: int = 3,
                  id_col: str = "doc_id", text_col: str = "text"):
@@ -101,24 +115,29 @@ class MinHashStage:
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        terms_rows, _tfs, _dl = tokenize_simple(t[self.text_col].combine_chunks()
-                                                if isinstance(t[self.text_col], pa.ChunkedArray)
-                                                else t[self.text_col])
-        ids = t[self.id_col].to_numpy(zero_copy_only=False)
-        out_band, out_key, out_id, out_sig = [], [], [], []
-        for did, toks in zip(ids, terms_rows):
-            sig = mh.minhash_signature(mh.shingles(toks, self.k), self.num_perm)
-            bh = mh.band_hashes(sig, self.bands)
-            for b in range(self.bands):
-                out_band.append(b)
-                out_key.append(int(bh[b]))
-                out_id.append(int(did))
-                out_sig.append(sig.tobytes())
+        col = t[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        terms_rows, _tfs, _dl = tokenize_simple(col)
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        shingle_lists = [mh.shingles(toks, self.k) for toks in terms_rows]
+        sigs = mh.minhash_signatures_batch(shingle_lists, self.num_perm)
+        buckets = mh.band_hashes_batch(sigs, self.bands)        # (n, bands)
+        sig32 = sigs.astype(np.uint32)
+        n, bands = buckets.shape
+        sig_bytes = sig32.tobytes()
+        itemsize = self.num_perm * 4
+        sig_col = pa.array(
+            [sig_bytes[i * itemsize:(i + 1) * itemsize] for i in range(n)
+             for _ in range(bands)], type=pa.large_binary())
+        flat_buckets = buckets.ravel()
         return pa.table({
-            "band": pa.array(out_band, type=pa.int32()),
-            "bucket": pa.array(out_key, type=pa.uint64()),
-            "doc_id": pa.array(out_id, type=pa.int64()),
-            "sig": pa.array(out_sig, type=pa.large_binary()),
+            "shard": pa.array((flat_buckets % np.uint64(N_PAIR_SHARDS))
+                              .astype(np.uint32)),
+            "bucket": pa.array(flat_buckets, type=pa.uint64()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "doc_id": pa.array(np.repeat(ids, bands), type=pa.int64()),
+            "sig": sig_col,
         })
 
 
@@ -136,33 +155,62 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, num_perm: int = 128,
         batch_format="pyarrow", concurrency=concurrency,
     )
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
+    rows_per_band = num_perm // bands
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64()),
+                      "est_jaccard": pa.array([], type=pa.float64())})
+
+    def shard_pairs(g: pa.Table) -> pa.Table:
+        buckets = g["bucket"].to_numpy(zero_copy_only=False)
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        ids = ids[order]
-        sigs = [np.frombuffer(g["sig"][int(i)].as_py(), dtype=np.uint64)
-                for i in order]
-        a, b = _pairs_from_bucket(np.arange(len(ids)))
-        out_a, out_b, out_j = [], [], []
-        for i, j in zip(a, b):
-            est = mh.estimate_jaccard(sigs[i], sigs[j])
-            if est >= min_jaccard and ids[i] != ids[j]:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[j]))
-                out_j.append(est)
+        bandcol = g["band"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, buckets))
+        buckets, ids, bandcol = buckets[order], ids[order], bandcol[order]
+        sig_buf = b"".join(g["sig"].to_pylist())
+        sigs = np.frombuffer(sig_buf, dtype=np.uint32).reshape(len(ids), -1)[order]
+        ia, ib = _shard_pair_indices(buckets)
+        if len(ia) == 0:
+            return empty
+        pa_ids, pb_ids = ids[ia], ids[ib]
+        neq = pa_ids != pb_ids
+        ia, ib, pa_ids, pb_ids = ia[neq], ib[neq], pa_ids[neq], pb_ids[neq]
+        if len(ia) == 0:
+            return empty
+        # a hot bucket cluster surfaces the SAME pair from many bands:
+        # compare signatures once per unique pair, not per occurrence
+        porder = np.lexsort((pb_ids, pa_ids))
+        pa_s, pb_s = pa_ids[porder], pb_ids[porder]
+        new_pair = np.empty(len(pa_s), dtype=bool)
+        new_pair[0] = True
+        np.logical_or(pa_s[1:] != pa_s[:-1], pb_s[1:] != pb_s[:-1],
+                      out=new_pair[1:])
+        group_of = np.cumsum(new_pair) - 1          # occurrence -> unique idx
+        uniq_occ = porder[new_pair]                  # one occurrence per pair
+        eq = sigs[ia[uniq_occ]] == sigs[ib[uniq_occ]]
+        est = eq.mean(axis=1)
+        jkeep = est >= min_jaccard
+        if not jkeep.any():
+            return empty
+        # ownership: emit a pair only from its FIRST fully-matching band
+        # (that band's bucket provably lands in exactly one shard) — output
+        # is globally unique with no second dedup shuffle
+        band_eq = eq[jkeep].reshape(-1, bands, rows_per_band).all(axis=2)
+        bstar = np.argmax(band_eq, axis=1)
+        kept_groups = np.flatnonzero(jkeep)
+        # does THIS shard hold an occurrence of the pair with band == bstar?
+        occ_band = bandcol[ia]                       # == bandcol[ib] per row
+        target = np.full(len(est), -1, dtype=np.int64)
+        target[kept_groups] = bstar
+        mine_occ = occ_band[porder] == target[group_of]
+        final_groups = np.unique(group_of[mine_occ])
+        sel = uniq_occ[final_groups]
         return pa.table({
-            "doc_a": pa.array(out_a, type=pa.int64()),
-            "doc_b": pa.array(out_b, type=pa.int64()),
-            "est_jaccard": pa.array(out_j, type=pa.float64()),
+            "doc_a": pa.array(ids[ia[sel]], type=pa.int64()),
+            "doc_b": pa.array(ids[ib[sel]], type=pa.int64()),
+            "est_jaccard": pa.array(est[final_groups], type=pa.float64()),
         })
 
-    pairs = rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    # a pair can surface in several bands: keep one row per (a, b)
-    def first_of_pair(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(first_of_pair,
-                                                        batch_format="pyarrow")
+    return rows.groupby("shard").map_groups(shard_pairs, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ simhash
@@ -177,43 +225,57 @@ def simhash_pairs(ds: ray.data.Dataset, *, max_hamming: int = 3,
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         sh = textstats.simhash64(col).to_numpy(zero_copy_only=False)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        bands, buckets, out_ids, out_sh = [], [], [], []
-        for b in range(4):
-            chunk = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-            bands.extend([b] * len(ids))
-            buckets.extend((chunk.astype(np.uint64) | (np.uint64(b) << np.uint64(16))).tolist())
-            out_ids.extend(ids.tolist())
-            out_sh.extend(sh.tolist())
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        bands = np.repeat(np.arange(4, dtype=np.int32), n)
+        chunks = np.concatenate([
+            ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+            | (np.uint64(b) << np.uint64(16)) for b in range(4)
+        ])
         return pa.table({
-            "bucket": pa.array(buckets, type=pa.uint64()),
-            "doc_id": pa.array(out_ids, type=pa.int64()),
-            "simhash": pa.array(out_sh, type=pa.uint64()),
+            "shard": pa.array((chunks % np.uint64(N_PAIR_SHARDS)).astype(np.uint32)),
+            "bucket": pa.array(chunks, type=pa.uint64()),
+            "band": pa.array(bands),
+            "doc_id": pa.array(np.tile(ids, 4), type=pa.int64()),
+            "simhash": pa.array(np.tile(sh, 4), type=pa.uint64()),
         })
 
     rows = ds.map_batches(sig_rows, batch_format="pyarrow")
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64()),
+                      "hamming": pa.array([], type=pa.int64())})
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
+    def shard_pairs(g: pa.Table) -> pa.Table:
+        buckets = g["bucket"].to_numpy(zero_copy_only=False)
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
         sh = g["simhash"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
-        ia, ib = _pairs_from_bucket(np.arange(len(ids)))
+        bandcol = g["band"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, buckets))
+        buckets, ids, sh, bandcol = (buckets[order], ids[order], sh[order],
+                                     bandcol[order])
+        ia, ib = _shard_pair_indices(buckets)
         if len(ia) == 0:
-            return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                             "doc_b": pa.array([], type=pa.int64()),
-                             "hamming": pa.array([], type=pa.int64())})
+            return empty
         dist = textstats.hamming_distance(sh[ia], sh[ib])
         keep = (dist <= max_hamming) & (ids[ia] != ids[ib])
+        if not keep.any():
+            return empty
+        ia, ib, dist = ia[keep], ib[keep], dist[keep]
+        # first-matching-band ownership => globally unique output
+        xor = np.bitwise_xor(sh[ia], sh[ib])
+        band_eq = np.stack([
+            ((xor >> np.uint64(16 * b)) & np.uint64(0xFFFF)) == 0
+            for b in range(4)
+        ], axis=1)
+        first = np.argmax(band_eq, axis=1)
+        mine = first == bandcol[ia]
         return pa.table({
-            "doc_a": pa.array(ids[ia][keep], type=pa.int64()),
-            "doc_b": pa.array(ids[ib][keep], type=pa.int64()),
-            "hamming": pa.array(dist[keep], type=pa.int64()),
+            "doc_a": pa.array(ids[ia][mine], type=pa.int64()),
+            "doc_b": pa.array(ids[ib][mine], type=pa.int64()),
+            "hamming": pa.array(dist[mine], type=pa.int64()),
         })
 
-    pairs = rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return rows.groupby("shard").map_groups(shard_pairs, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ embeddings
@@ -237,23 +299,26 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *, dim: int, n_planes: int = 1
         bucket = np.packbits(bits, axis=1, bitorder="little")[:, :2]
         bucket = bucket[:, 0].astype(np.uint64) | (bucket[:, 1].astype(np.uint64) << np.uint64(8))
         return pa.table({
+            "shard": pa.array((bucket % np.uint64(N_PAIR_SHARDS)).astype(np.uint32)),
             "bucket": pa.array(bucket, type=pa.uint64()),
             id_col: t[id_col],
             "unit": pa.array(list(unit), type=pa.list_(pa.float64())),
         })
 
     rows = ds.map_batches(bucket_rows, batch_format="pyarrow")
+    empty = pa.table({"vec_a": pa.array([], type=pa.int64()),
+                      "vec_b": pa.array([], type=pa.int64()),
+                      "cosine": pa.array([], type=pa.float64())})
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
+    def shard_pairs(g: pa.Table) -> pa.Table:
+        buckets = g["bucket"].to_numpy(zero_copy_only=False)
         ids = g[id_col].to_numpy(zero_copy_only=False)
         unit = np.stack(g["unit"].to_pylist())
-        order = np.argsort(ids)
-        ids, unit = ids[order], unit[order]
-        ia, ib = _pairs_from_bucket(np.arange(len(ids)))
+        order = np.lexsort((ids, buckets))
+        buckets, ids, unit = buckets[order], ids[order], unit[order]
+        ia, ib = _shard_pair_indices(buckets)
         if len(ia) == 0:
-            return pa.table({"vec_a": pa.array([], type=pa.int64()),
-                             "vec_b": pa.array([], type=pa.int64()),
-                             "cosine": pa.array([], type=pa.float64())})
+            return empty
         cos = np.einsum("ij,ij->i", unit[ia], unit[ib])
         keep = (cos >= min_cosine) & (ids[ia] != ids[ib])
         return pa.table({
@@ -262,6 +327,4 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *, dim: int, n_planes: int = 1
             "cosine": pa.array(cos[keep], type=pa.float64()),
         })
 
-    pairs = rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return rows.groupby("shard").map_groups(shard_pairs, batch_format="pyarrow")
