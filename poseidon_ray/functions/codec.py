@@ -130,6 +130,30 @@ def decode_postings(data: bytes, block_size: int | None = None) -> np.ndarray:
     return undelta(decode_varint(data), block_size)
 
 
+def delta_with_resets(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Delta-encode with an absolute restart at each ``starts`` position
+    (arbitrary segment boundaries — the chunk/segment packing primitive)."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    deltas = v.copy()
+    if len(v) > 1:
+        deltas[1:] = v[1:] - v[:-1]  # uint wrap at boundaries is
+    deltas[starts] = v[starts]       # overwritten right here
+    return deltas
+
+
+def undelta_segments(deltas: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Inverse of delta_with_resets for arbitrary segment starts,
+    vectorized: global cumsum minus each segment's carry-in (uint64
+    wraparound cancels exactly)."""
+    if len(deltas) == 0:
+        return np.asarray(deltas, dtype=_U64)
+    naive = np.cumsum(np.ascontiguousarray(deltas, dtype=_U64), dtype=_U64)
+    seg_lens = np.diff(np.append(starts, len(deltas)))
+    carry = np.zeros(len(starts), dtype=_U64)
+    carry[1:] = naive[starts[1:] - 1]
+    return naive - np.repeat(carry, seg_lens)
+
+
 def bm25_impacts(tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float,
                  k1: float, b: float) -> np.ndarray:
     """Per-posting impact in float64; full score = idf * (k1+1) * impact."""

@@ -44,10 +44,8 @@ def detect_hot_terms(ds_docstore: ray.data.Dataset, spec: IndexSpec,
         TokenizeAndCombine, fn_constructor_kwargs={"spec": spec},
         batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
     ).iter_batches(batch_format="pyarrow"):
-        import pyarrow.compute as pc
-
         terms = batch["term"].to_pylist()
-        counts = pc.list_value_length(batch["doc_ids"]).to_numpy(zero_copy_only=False)
+        counts = batch["n"].to_numpy(zero_copy_only=False)
         for t, c in zip(terms, counts):
             hot[t] = hot.get(t, 0) + int(c)
     scale = 1.0 / max(sample_frac, 1e-9)
@@ -63,6 +61,8 @@ def build_index(
     tokenize_batch_size: int = 256,
     detect_hot: bool = False,
     hot_sample_frac: float = 0.05,
+    docid_base: int = 0,
+    stage_barrier: bool = True,
 ) -> dict:
     """Build (or resume) the full index; returns the global manifest."""
     spec = spec or IndexSpec()
@@ -78,9 +78,11 @@ def build_index(
     if isinstance(corpus, str):
         corpus = read_corpus(corpus)
 
-    # stage 1-2: sorted docIDs + docstore (checkpointed by docstore.json)
-    doc_manifest = build_docstore(corpus, out_dir)
-    ds = read_docstore(out_dir)
+    # stage 1-2: sorted docIDs + docstore (checkpointed by docstore.json);
+    # a fresh build streams its blocks onward in-memory, a resume re-reads
+    doc_manifest, ds = build_docstore(corpus, out_dir, docid_base=docid_base)
+    if ds is None:
+        ds = read_docstore(out_dir)
 
     # hot-term set: static + (optionally) sampled; persisted so RESUMED runs
     # salt identically (partition contents must be stable across runs)
@@ -115,6 +117,14 @@ def build_index(
 
         chunks = chunks.map_batches(_drop_done, batch_format="pyarrow")
 
+    # materialize the (packed, small) chunk set before the shuffle: the MR
+    # map-output barrier. Without it the streaming executor runs the actor
+    # pool concurrently with the sort and they fight for CPUs (measured
+    # 124s -> 72s at 32 cpus on the 480k-row corpus). Chunk data ≈ final
+    # index size, so the object store (with spill) holds it comfortably.
+    if stage_barrier:
+        chunks = chunks.materialize()
+
     # stage 5-6: the wide step — term-hash shuffle + per-partition reduce
     summaries = chunks.groupby("part").map_groups(
         partial(seg.build_segment_partition, out_dir=out_dir, spec=spec),
@@ -123,3 +133,50 @@ def build_index(
     summaries.materialize()  # tiny: one row per partition
 
     return seg.write_index_manifest(out_dir, spec, doc_manifest["num_docs"])
+
+
+# ---------------------------------------------------------------- incremental
+
+def _generations_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "generations.json")
+
+
+def list_generations(index_dir: str) -> list[str]:
+    """Generation subdirs, oldest first. A plain single-build index is one
+    generation rooted at '.'."""
+    p = _generations_path(index_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)["generations"]
+    return ["."]
+
+
+def extend_index(index_dir: str, new_corpus: str | ray.data.Dataset,
+                 spec: IndexSpec | None = None, **build_kwargs) -> dict:
+    """Incremental ingest — the Ray-Data analog of the reference's
+    middle-file merge + day partitioning (SURVEY §2.1 S9: reducer dumps
+    ``middle/`` postings that the next day's build re-ingests; the proxy
+    then unions per-day results, service/proxy/module/proxy.go:79-109).
+
+    New documents become a NEW generation: a self-contained index built
+    under ``index_dir/gen-NNNNN`` whose docIDs start after every existing
+    generation (doc-disjoint by construction). No existing segment is
+    rewritten — queries merge generations exactly like salted shards
+    (df/cf summed, postings concatenated), which keeps BM25 stats global
+    and exact. Compaction = rebuild from the union corpus when generations
+    accumulate.
+    """
+    spec = spec or IndexSpec()
+    gens = list_generations(index_dir)
+    total = 0
+    for g in gens:
+        total += seg.load_index_manifest(os.path.join(index_dir, g))["num_docs"]
+    gname = f"gen-{len(gens):05d}"
+    build_index(new_corpus, os.path.join(index_dir, gname), spec,
+                docid_base=total, **build_kwargs)
+    gens = gens + [gname]
+    p = _generations_path(index_dir)
+    with open(p + ".tmp", "w") as f:
+        json.dump({"generations": gens}, f)
+    os.replace(p + ".tmp", p)
+    return {"generations": gens, "num_docs_before": total}

@@ -49,26 +49,41 @@ class Searcher:
     """Stateful query evaluator; init cost paid once (directory pin)."""
 
     def __init__(self, index_dir: str, cache_items: int = 4096):
+        import os
+
+        from poseidon_ray.pipelines.build import list_generations
+
         self.index_dir = index_dir
-        self.manifest = seg.load_index_manifest(index_dir)
-        self.num_docs = self.manifest["num_docs"]
+        # generations (incremental builds) are doc-disjoint — merging their
+        # directories is identical to merging salted shards: df/cf sums and
+        # posting concatenation stay exact, so BM25 stats remain global
+        gen_dirs = [os.path.normpath(os.path.join(index_dir, g))
+                    for g in list_generations(index_dir)]
+        manifests = [seg.load_index_manifest(g) for g in gen_dirs]
+        self.manifest = manifests[0]
+        self.num_docs = sum(m["num_docs"] for m in manifests)
         self.k1 = self.manifest["bm25"]["k1"]
         self.b = self.manifest["bm25"]["b"]
-        directory = seg.load_directory(index_dir)
+        self._cf_by_field: dict[str, int] = {}
+        for m in manifests:
+            for fld, st in m["fields"].items():
+                self._cf_by_field[fld] = self._cf_by_field.get(fld, 0) + st["cf_total"]
         # (field, term) -> list of (segment_path, row_index); df/cf summed
-        # across salted shards (doc-disjoint, so sums are exact)
+        # across salted shards AND generations
         self._dir: dict[tuple[str, str], dict] = {}
-        fields = directory["field"].to_pylist()
-        terms = directory["term"].to_pylist()
-        paths = directory["segment_path"].to_pylist()
-        rows = directory["row_index"].to_pylist()
-        dfs = directory["df"].to_pylist()
-        cfs = directory["cf"].to_pylist()
-        for f, t, p, r, df, cf in zip(fields, terms, paths, rows, dfs, cfs):
-            e = self._dir.setdefault((f, t), {"shards": [], "df": 0, "cf": 0})
-            e["shards"].append((p, r))
-            e["df"] += df
-            e["cf"] += cf
+        for gdir in gen_dirs:
+            directory = seg.load_directory(gdir)
+            fields = directory["field"].to_pylist()
+            terms = directory["term"].to_pylist()
+            paths = directory["segment_path"].to_pylist()
+            rows = directory["row_index"].to_pylist()
+            dfs = directory["df"].to_pylist()
+            cfs = directory["cf"].to_pylist()
+            for f, t, p, r, df, cf in zip(fields, terms, paths, rows, dfs, cfs):
+                e = self._dir.setdefault((f, t), {"shards": [], "df": 0, "cf": 0})
+                e["shards"].append((p, r))
+                e["df"] += df
+                e["cf"] += cf
         self._readers: dict[str, seg.SegmentReader] = {}
         self._cache: OrderedDict = OrderedDict()
         self._cache_items = cache_items
@@ -122,8 +137,8 @@ class Searcher:
         return self.manifest.get("block_size", 128)
 
     def avgdl(self, field: str) -> float:
-        st = self.manifest["fields"].get(field)
-        return st["avgdl"] if st else 0.0
+        cf = self._cf_by_field.get(field, 0)
+        return cf / self.num_docs if self.num_docs else 0.0
 
     # -------------------------------------------------- scoring
 

@@ -51,15 +51,19 @@ DOCMETA_SCHEMA = pa.schema(
 # partial-aggregated posting chunks (the MR combiner output analog,
 # InvertedIndexGenerateCombiner.java:41-109): one row per (term, field) per
 # input block; doc_ids sorted ascending within the chunk. doc_lens ride along
-# so BM25 norms need no query-time doc-length join.
+# so BM25 norms need no query-time doc-length join. Lists are packed as
+# delta+varint bytes already at the combiner — the term shuffle (the widest
+# exchange in the whole engine) moves ~1-2 bytes per posting instead of 16
+# (the combiner's reason to exist in the reference, docs/build_inverted_index.md).
 CHUNK_SCHEMA = pa.schema(
     [
         ("part", pa.uint32()),          # salted term partition
         ("term", pa.string()),
         ("field", pa.string()),
-        ("doc_ids", pa.list_(pa.uint64())),
-        ("tfs", pa.list_(pa.uint32())),
-        ("doc_lens", pa.list_(pa.uint32())),
+        ("n", pa.uint32()),             # postings in this chunk
+        ("doc_bytes", pa.large_binary()),   # varint deltas, absolute first
+        ("tf_bytes", pa.large_binary()),    # varint tfs
+        ("dl_bytes", pa.large_binary()),    # varint doc_lens
     ]
 )
 

@@ -36,10 +36,12 @@ from poseidon_ray.functions.hashing import sha256_column
 SORT_KEYS = ["repo", "path", "commit"]
 
 
-@ray.remote(num_cpus=1)
-def _finalize_block(block: pa.Table, base: int, path: str) -> dict:
+@ray.remote(num_cpus=1, num_returns=2)
+def _finalize_block(block: pa.Table, base: int, path: str):
     """Attach doc_id + sha256 to one sorted block and write it as one
-    docstore file. Idempotent via atomic rename (resume skips rewrites)."""
+    docstore file. Idempotent via atomic rename (resume skips rewrites).
+    Returns (info, table) — the table ref feeds the next pipeline stage
+    directly from the object store, skipping a disk round-trip."""
     n = block.num_rows
     doc_id = pa.array(np.arange(base, base + n, dtype=np.uint64))
     sha = pa.array(sha256_column(block["content"]))
@@ -47,48 +49,74 @@ def _finalize_block(block: pa.Table, base: int, path: str) -> dict:
     tmp = f"{path}.tmp"
     pq.write_table(out, tmp, row_group_size=4096, compression="zstd")
     os.replace(tmp, path)
-    return {"path": path, "first_doc_id": base, "num_rows": n}
+    return {"path": path, "first_doc_id": base, "num_rows": n}, out
 
 
-def build_docstore(corpus: ray.data.Dataset, out_dir: str) -> dict:
-    """Sort-shuffle the corpus, assign dense docIDs, write the docstore.
+def build_docstore(corpus: ray.data.Dataset, out_dir: str,
+                   docid_base: int = 0) -> dict:
+    """Sort-shuffle the corpus, assign dense docIDs (starting at
+    ``docid_base`` — nonzero for incremental generations), write the
+    docstore.
 
     Returns the docstore manifest: {"files": [{path, first_doc_id,
-    num_rows}...], "num_docs": N}. Written to ``out_dir/docstore.json``
-    atomically (checkpoint: a re-run with the manifest present is a no-op
-    upstream of this stage).
+    num_rows}...], "num_docs": N, "docid_base": B}. Written to
+    ``out_dir/docstore.json`` atomically (checkpoint: a re-run with the
+    manifest present is a no-op upstream of this stage).
     """
     manifest_path = os.path.join(out_dir, "docstore.json")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            return json.load(f)
+            return json.load(f), None
 
     os.makedirs(os.path.join(out_dir, "docstore"), exist_ok=True)
     ds = corpus.sort(SORT_KEYS)
     # materialize the sorted blocks, then attach ranks per block; block refs
     # stay in the object store (zero-copy), only counts reach the driver
-    blocks = ds.materialize().to_arrow_refs()
-    counts = ray.get(
-        [_nrows.remote(b) for b in blocks]
-    )
-    bases = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-    futures = []
+    mds = ds.materialize()
+    blocks, counts = _block_refs_and_counts(mds)
+    bases = docid_base + np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    info_refs, table_refs = [], []
     for i, (ref, base) in enumerate(zip(blocks, bases)):
         path = os.path.join(out_dir, "docstore", f"part-{i:06d}.parquet")
-        futures.append(_finalize_block.remote(ref, int(base), path))
-    files = ray.get(futures)
+        info, tbl = _finalize_block.remote(ref, int(base), path)
+        info_refs.append(info)
+        table_refs.append(tbl)
+    files = ray.get(info_refs)
+    table_refs = [t for t, f in zip(table_refs, files) if f["num_rows"] > 0]
     files = [f for f in files if f["num_rows"] > 0]
-    manifest = {"files": files, "num_docs": int(sum(counts))}
+    manifest = {"files": files, "num_docs": int(sum(counts)),
+                "docid_base": int(docid_base)}
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, manifest_path)
-    return manifest
+    # hand the finalized blocks to the next stage zero-copy (the files on
+    # disk serve checkpoint/fetch, not this run's dataflow)
+    docstore_ds = ray.data.from_arrow_refs(table_refs) if table_refs else None
+    return manifest, docstore_ds
 
 
 @ray.remote(num_cpus=0.25)
 def _nrows(block: pa.Table) -> int:
     return block.num_rows
+
+
+def _block_refs_and_counts(mds) -> tuple[list, list[int]]:
+    """Block refs + row counts of a materialized dataset. Row counts come
+    from block METADATA when available (no task wave, no data movement);
+    falls back to tiny counting tasks if the internal iterator changes."""
+    try:
+        refs, counts = [], []
+        for bundle in mds.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                if meta.num_rows is None:
+                    raise ValueError("metadata missing num_rows")
+                refs.append(ref)
+                counts.append(int(meta.num_rows))
+        return refs, counts
+    except Exception:
+        refs = mds.to_arrow_refs()
+        return refs, list(ray.get([_nrows.remote(b) for b in refs]))
 
 
 def read_docstore(out_dir: str) -> ray.data.Dataset:

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from poseidon_ray.functions import codec
 from poseidon_ray.functions.hashing import hash_terms
 from poseidon_ray.functions.tokenize import TOKENIZERS
 from poseidon_ray.schema import CHUNK_SCHEMA, IndexSpec
@@ -76,25 +77,43 @@ def make_chunks(
     order = np.lexsort((flat_doc, gkey))
     gkey_s = gkey[order]
     starts = np.flatnonzero(np.diff(gkey_s, prepend=np.uint64(gkey_s[0] + 1)))
-    offsets = np.append(starts, len(gkey_s)).astype(np.int64)
+    ends = np.append(starts[1:], len(gkey_s))
 
     group_terms = uniq_terms[(gkey_s[starts] // np.uint64(spec.salt_factor)).astype(np.int64)]
     group_salts = gkey_s[starts] % np.uint64(spec.salt_factor)
     h = hash_terms(group_terms)
     parts = ((h + group_salts * _SALT_MIX) % np.uint64(spec.num_partitions)).astype(np.uint32)
 
+    # pack each group's postings as delta+varint bytes RIGHT HERE (the
+    # combiner compresses before the wide shuffle): one vectorized encode
+    # per column, sliced per group by byte offsets
+    doc_sorted = flat_doc[order]
+    tf_sorted = flat_tfs[order].astype(np.uint64)
+    dl_sorted = flat_dl[order].astype(np.uint64)
+    deltas = codec.delta_with_resets(doc_sorted, starts)
+    doc_all = codec.encode_varint(deltas)
+    tf_all = codec.encode_varint(tf_sorted)
+    dl_all = codec.encode_varint(dl_sorted)
+    off_doc = np.concatenate([[0], np.cumsum(codec.varint_lengths(deltas))])
+    off_tf = np.concatenate([[0], np.cumsum(codec.varint_lengths(tf_sorted))])
+    off_dl = np.concatenate([[0], np.cumsum(codec.varint_lengths(dl_sorted))])
+
     n_groups = len(starts)
+    doc_col, tf_col, dl_col = [], [], []
+    for i in range(n_groups):
+        s, e = starts[i], ends[i]
+        doc_col.append(doc_all[off_doc[s]:off_doc[e]])
+        tf_col.append(tf_all[off_tf[s]:off_tf[e]])
+        dl_col.append(dl_all[off_dl[s]:off_dl[e]])
     return pa.table(
         {
             "part": pa.array(parts),
             "term": pa.array(group_terms, type=pa.string()),
             "field": pa.array(np.full(n_groups, field, dtype=object), type=pa.string()),
-            "doc_ids": pa.ListArray.from_arrays(
-                pa.array(offsets), pa.array(flat_doc[order], type=pa.uint64())),
-            "tfs": pa.ListArray.from_arrays(
-                pa.array(offsets), pa.array(flat_tfs[order], type=pa.uint32())),
-            "doc_lens": pa.ListArray.from_arrays(
-                pa.array(offsets), pa.array(flat_dl[order], type=pa.uint32())),
+            "n": pa.array((ends - starts).astype(np.uint32)),
+            "doc_bytes": pa.array(doc_col, type=pa.large_binary()),
+            "tf_bytes": pa.array(tf_col, type=pa.large_binary()),
+            "dl_bytes": pa.array(dl_col, type=pa.large_binary()),
         },
         schema=CHUNK_SCHEMA,
     )

@@ -39,15 +39,6 @@ SEGMENT_ROW_GROUP = 64  # rows per parquet row group => a term fetch reads one
                         # small row group, the 40 KB InvertedIndexGz analog
 
 
-def _segmented_delta(ids: np.ndarray, starts: np.ndarray) -> np.ndarray:
-    """Delta-encode with a reset (absolute value) at each segment start."""
-    deltas = ids.copy()
-    if len(ids) > 1:
-        deltas[1:] = ids[1:] - ids[:-1]  # uint wrap at boundaries is
-    deltas[starts] = ids[starts]         # overwritten right here
-    return deltas
-
-
 def build_segment_partition(group: pa.Table, out_dir: str, spec: IndexSpec) -> pa.Table:
     """Reduce one term partition of CHUNK_SCHEMA rows into a segment file +
     directory file + manifest. The A3 reducer analog
@@ -62,14 +53,17 @@ def build_segment_partition(group: pa.Table, out_dir: str, spec: IndexSpec) -> p
     dir_path = os.path.join(out_dir, "directory", f"directory-{part:05d}.parquet")
     man_path = os.path.join(out_dir, "segments", f"manifest-{part:05d}.json")
 
-    # ---- flatten chunk lists to posting arrays
-    doc_l = group["doc_ids"].combine_chunks()
-    row_lens = pc.list_value_length(doc_l).to_numpy(zero_copy_only=False).astype(np.int64)
-    flat_doc = doc_l.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-    flat_tf = group["tfs"].combine_chunks().flatten().to_numpy(
-        zero_copy_only=False).astype(np.uint32)
-    flat_dl = group["doc_lens"].combine_chunks().flatten().to_numpy(
-        zero_copy_only=False).astype(np.uint32)
+    # ---- unpack chunk varint blobs to flat posting arrays (one
+    # concatenated decode per column — varints are self-delimiting, so the
+    # join of all rows decodes in a single vectorized pass)
+    row_lens = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    row_starts = np.concatenate([[0], np.cumsum(row_lens)[:-1]])
+    flat_doc = codec.undelta_segments(
+        codec.decode_varint(b"".join(group["doc_bytes"].to_pylist())), row_starts)
+    flat_tf = codec.decode_varint(
+        b"".join(group["tf_bytes"].to_pylist())).astype(np.uint32)
+    flat_dl = codec.decode_varint(
+        b"".join(group["dl_bytes"].to_pylist())).astype(np.uint32)
 
     terms = group["term"].to_numpy(zero_copy_only=False)
     fields = group["field"].to_numpy(zero_copy_only=False)
@@ -121,7 +115,7 @@ def build_segment_partition(group: pa.Table, out_dir: str, spec: IndexSpec) -> p
 
     # deltas reset at every term start AND block start (block starts include
     # term starts by construction)
-    deltas = _segmented_delta(flat_doc, block_start)
+    deltas = codec.delta_with_resets(flat_doc, block_start)
     flat_tf64 = flat_tf.astype(np.uint64)
     flat_dl64 = flat_dl.astype(np.uint64)
     doc_bytes = codec.encode_varint(deltas)

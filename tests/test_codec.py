@@ -103,3 +103,30 @@ def test_intersect_sorted():
     np.testing.assert_array_equal(codec.intersect_sorted([a, b, c]), [5, 9])
     assert len(codec.intersect_sorted([a, np.array([], dtype=np.uint64)])) == 0
     np.testing.assert_array_equal(codec.intersect_sorted([a]), a)
+
+
+def test_delta_with_resets_roundtrip():
+    rng = np.random.default_rng(5)
+    vals = np.sort(rng.integers(0, 2**40, 500).astype(np.uint64))
+    # arbitrary segment starts (first must be 0)
+    starts = np.unique(np.concatenate([[0], rng.integers(1, 500, 20)]))
+    deltas = codec.delta_with_resets(vals, starts)
+    out = codec.undelta_segments(deltas, starts)
+    np.testing.assert_array_equal(out, vals)
+    # each segment's first stored value is absolute
+    np.testing.assert_array_equal(deltas[starts], vals[starts])
+
+
+def test_undelta_segments_single():
+    v = np.array([7, 9, 30], dtype=np.uint64)
+    d = codec.delta_with_resets(v, np.array([0]))
+    np.testing.assert_array_equal(codec.undelta_segments(d, np.array([0])), v)
+
+
+def test_undelta_segments_descending_boundaries():
+    # doc ids RESTART lower at segment boundaries (chunks from different
+    # term groups) — uint wraparound in the delta must cancel exactly
+    v = np.array([100, 200, 5, 6, 3], dtype=np.uint64)
+    starts = np.array([0, 2, 4])
+    d = codec.delta_with_resets(v, starts)
+    np.testing.assert_array_equal(codec.undelta_segments(d, starts), v)
