@@ -63,6 +63,7 @@ def build_index(
     hot_sample_frac: float = 0.05,
     docid_base: int = 0,
     stage_barrier: bool = True,
+    blacklist_path: str | None = None,
 ) -> dict:
     """Build (or resume) the full index; returns the global manifest."""
     spec = spec or IndexSpec()
@@ -98,10 +99,20 @@ def build_index(
             json.dump(sorted(hot), f)
         os.replace(hot_path + ".tmp", hot_path)
 
+    # stopword blacklist (the ST2 token_filter_files analog; file format
+    # matches the reference fixtures: one token per line, unterminated last
+    # line allowed). Loaded once here, shipped to each actor's __init__.
+    blacklist: frozenset[str] = frozenset()
+    if blacklist_path:
+        with open(blacklist_path) as f:
+            blacklist = frozenset(t.strip() for t in f.read().splitlines()
+                                  if t.strip())
+
     # stage 3-4: tokenize + combine (actor pool), skip finished partitions
     chunks = ds.map_batches(
         TokenizeAndCombine,
-        fn_constructor_kwargs={"spec": spec, "hot_terms": frozenset(hot)},
+        fn_constructor_kwargs={"spec": spec, "hot_terms": frozenset(hot),
+                               "blacklist": blacklist},
         batch_format="pyarrow",
         batch_size=tokenize_batch_size,
         concurrency=tokenize_concurrency,

@@ -34,8 +34,6 @@ import numpy as np
 import pyarrow as pa
 
 from poseidon_ray.functions import codec
-from poseidon_ray.functions.tokenize import tokenize_query
-from poseidon_ray.schema import IndexSpec
 from poseidon_ray.state import segments as seg
 
 
@@ -87,6 +85,30 @@ class Searcher:
         self._readers: dict[str, seg.SegmentReader] = {}
         self._cache: OrderedDict = OrderedDict()
         self._cache_items = cache_items
+        # field -> tokenizer name from the build manifest (single source of
+        # truth for query-side tokenization, incl. custom chains)
+        from poseidon_ray.functions.tokenize import TOKENIZERS
+
+        self._tokenizers = dict(TOKENIZERS)
+        for name, chain_spec in self.manifest.get("chains", {}).items():
+            from poseidon_ray.functions.normalize import make_chain_tokenizer
+
+            self._tokenizers[name] = make_chain_tokenizer(chain_spec)
+        self._field_tok = {
+            f: sc[1] for f, sc in self.manifest.get("field_spec", {}).items()
+        }
+
+    def _tokenizer_for(self, field: str, override: str | None) -> str:
+        if override:
+            return override
+        return self._field_tok.get(field, "code")
+
+    def _tokenize_query(self, text: str, tok: str) -> list[str]:
+        from poseidon_ray.functions.tokenize import normalize_query_term
+
+        arr = pa.array([normalize_query_term(text)])
+        terms, _tfs, _dl = self._tokenizers[tok](arr)
+        return sorted(set(terms[0]))
 
     # -------------------------------------------------- postings access
 
@@ -169,9 +191,8 @@ class Searcher:
     def search(self, text: str, field: str = "content", mode: str = "or",
                k: int = 10, tokenizer: str | None = None,
                algorithm: str = "exhaustive") -> list[tuple[int, float]]:
-        spec_default = IndexSpec()
-        tok = tokenizer or spec_default.fields.get(field, (field, "code"))[1]
-        terms = tokenize_query(text, tok)
+        tok = self._tokenizer_for(field, tokenizer)
+        terms = self._tokenize_query(text, tok)
         if not terms:
             return []
         if mode == "and":
@@ -317,9 +338,8 @@ class Searcher:
         """The reference's pv_only path (module/poseidon.go:180,214):
         hit count without doc fetch; single-term uses directory stats only
         (the PV sentinel read, inverted_index_gz_client.go:132-137)."""
-        spec_default = IndexSpec()
-        tok = tokenizer or spec_default.fields.get(field, (field, "code"))[1]
-        terms = tokenize_query(text, tok)
+        tok = self._tokenizer_for(field, tokenizer)
+        terms = self._tokenize_query(text, tok)
         if not terms:
             return 0
         if len(terms) == 1:

@@ -129,6 +129,12 @@ class IndexSpec:
             "lang": ("lang", "keyword"),
         }
     )
+    # custom tokenizer chains (the index.json tokenizer-config analog,
+    # docs/config.md:35-67): name -> "step|step:param|..." spec, resolvable
+    # by name in `fields`. Carried IN the spec (not a process-global
+    # registry) so tokenize actors and query processes compile identical
+    # chains.
+    chains: dict[str, str] = field(default_factory=dict)
     num_partitions: int = 32          # term-hash partitions (1000 buckets analog)
     # hot-term salting (north rule; replaces the reference's hard truncation
     # ReduceGroupData.java:104-157): a term whose corpus cf exceeds the

@@ -127,6 +127,14 @@ class TokenizeAndCombine:
         self.spec = spec
         self.hot_terms = frozenset(hot_terms)
         self.blacklist = frozenset(blacklist)
+        # per-actor tokenizer table: built-ins + the spec's chains, compiled
+        # HERE so remote actors don't depend on driver-process registry state
+        self.tokenizers = dict(TOKENIZERS)
+        if spec.chains:
+            from poseidon_ray.functions.normalize import make_chain_tokenizer
+
+            for name, chain_spec in spec.chains.items():
+                self.tokenizers[name] = make_chain_tokenizer(chain_spec)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -135,7 +143,7 @@ class TokenizeAndCombine:
             col = batch[source]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            terms, tfs, dls = TOKENIZERS[tok_name](col)
+            terms, tfs, dls = self.tokenizers[tok_name](col)
             tbl = make_chunks(fld, terms, tfs, dls, doc_ids, self.spec,
                               self.hot_terms, self.blacklist)
             if tbl.num_rows:

@@ -259,6 +259,10 @@ def write_index_manifest(out_dir: str, spec: IndexSpec, num_docs: int) -> dict:
         },
         "bm25": {"k1": spec.bm25.k1, "b": spec.bm25.b},
         "block_size": spec.block_size,
+        # query side reconstructs field -> tokenizer (incl. custom chains)
+        # from here — no shared-process registry
+        "field_spec": {f: list(sc) for f, sc in spec.fields.items()},
+        "chains": dict(spec.chains),
         "partitions": parts,
     }
     path = os.path.join(out_dir, "index.json")
