@@ -191,3 +191,20 @@ def extend_index(index_dir: str, new_corpus: str | ray.data.Dataset,
         json.dump({"generations": gens}, f)
     os.replace(p + ".tmp", p)
     return {"generations": gens, "num_docs_before": total}
+
+
+def compact_index(index_dir: str, out_dir: str, spec: IndexSpec | None = None,
+                  **build_kwargs) -> dict:
+    """Rebuild N generations into one fresh index (the daily re-index
+    analog). The union corpus is read from the generations' own docstores
+    (column-pruned back to the corpus shape), so compaction never touches
+    the original inputs; docIDs are re-assigned by the standard sort."""
+    spec = spec or IndexSpec()
+    gens = list_generations(index_dir)
+    paths = []
+    for g in gens:
+        gdir = os.path.normpath(os.path.join(index_dir, g))
+        with open(os.path.join(gdir, "docstore.json")) as f:
+            paths.extend(fi["path"] for fi in json.load(f)["files"])
+    corpus = ray.data.read_parquet(paths, columns=CORPUS_SCHEMA.names)
+    return build_index(corpus, out_dir, spec, **build_kwargs)

@@ -1,0 +1,176 @@
+"""Directory-sharded scatter-gather query engine — the multi-node path.
+
+The in-process ``Searcher`` pins the WHOLE term directory; at 10^12-file
+scale the directory itself is too big for one process. Here it stays
+term-hash-partitioned exactly as built (directory-PPPPP.parquet): each
+``DirectoryShard`` actor pins only its partitions' directory slice and
+serves postings for them. A query fans out one ``fetch`` per shard actor
+(the reference proxy's per-day scatter, service/proxy/module/proxy.go:79-109
+— here per term-partition instead of per day), responses are merged on the
+caller (df/cf sums + posting concatenation — the same exact-merge rule as
+salted shards and generations), and scoring reuses the Searcher evaluators
+unchanged, so AND / OR / WAND results are bit-identical to the local engine
+(asserted in tests/test_distributed.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import ray
+
+from poseidon_ray.functions import codec
+from poseidon_ray.pipelines.query import Searcher
+from poseidon_ray.state import segments as seg
+
+
+@ray.remote
+class DirectoryShard:
+    """Pins the directory slice for a set of partitions (all generations)
+    and serves per-term postings + stats."""
+
+    def __init__(self, index_dir: str, parts: list[int]):
+        from poseidon_ray.pipelines.build import list_generations
+
+        self.block_size = None
+        want = set(parts)
+        self._dir: dict[tuple[str, str], dict] = {}
+        self._readers: dict[str, seg.SegmentReader] = {}
+        for g in list_generations(index_dir):
+            gdir = os.path.normpath(os.path.join(index_dir, g))
+            man = seg.load_index_manifest(gdir)
+            self.block_size = man.get("block_size", 128)
+            dir_dir = os.path.join(gdir, "directory")
+            for name in sorted(os.listdir(dir_dir)):
+                if not name.endswith(".parquet"):
+                    continue
+                part = int(name.split("-")[1].split(".")[0])
+                if part not in want:
+                    continue
+                import pyarrow.parquet as pq
+
+                d = pq.read_table(os.path.join(dir_dir, name))
+                for f, t, p, r, df, cf in zip(
+                    d["field"].to_pylist(), d["term"].to_pylist(),
+                    d["segment_path"].to_pylist(), d["row_index"].to_pylist(),
+                    d["df"].to_pylist(), d["cf"].to_pylist(),
+                ):
+                    e = self._dir.setdefault((f, t), {"shards": [], "df": 0, "cf": 0})
+                    e["shards"].append((p, r))
+                    e["df"] += df
+                    e["cf"] += cf
+
+    def fetch(self, field: str, terms: list[str]):
+        """[(df, cf, ids, tfs, dls) | None] aligned with ``terms``."""
+        out = []
+        for t in terms:
+            e = self._dir.get((field, t))
+            if e is None:
+                out.append(None)
+                continue
+            ids_parts, tf_parts, dl_parts = [], [], []
+            for path, row in e["shards"]:
+                r = self._readers.get(path)
+                if r is None:
+                    r = self._readers[path] = seg.SegmentReader(path)
+                rowd = r.read_row(row, columns=["postings", "tf_bytes", "dl_bytes"])
+                ids_parts.append(codec.decode_postings(rowd["postings"], self.block_size))
+                tf_parts.append(codec.decode_varint(rowd["tf_bytes"]))
+                dl_parts.append(codec.decode_varint(rowd["dl_bytes"]))
+            ids = np.concatenate(ids_parts)
+            tfs = np.concatenate(tf_parts)
+            dls = np.concatenate(dl_parts)
+            out.append((e["df"], e["cf"], ids, tfs, dls))
+        return out
+
+
+class DistributedSearcher(Searcher):
+    """Searcher whose directory lives in shard actors. Evaluation logic is
+    inherited; only the postings/stats plumbing is remote (prefetched once
+    per query — one round trip to every shard, like the reference proxy)."""
+
+    def __init__(self, index_dir: str, num_shards: int = 4):
+        # stats-only init (no full directory in this process)
+        self._init_stats(index_dir)
+        num_parts = self.manifest["num_partitions"]
+        groups = [list(range(i, num_parts, num_shards)) for i in range(num_shards)]
+        self._actors = [
+            DirectoryShard.remote(index_dir, parts) for parts in groups if parts
+        ]
+        self._pcache: dict = {}
+        self._scache: dict = {}
+
+    def _init_stats(self, index_dir: str) -> None:
+        from collections import OrderedDict
+
+        from poseidon_ray.functions.tokenize import TOKENIZERS
+        from poseidon_ray.pipelines.build import list_generations
+
+        self.index_dir = index_dir
+        gen_dirs = [os.path.normpath(os.path.join(index_dir, g))
+                    for g in list_generations(index_dir)]
+        manifests = [seg.load_index_manifest(g) for g in gen_dirs]
+        self.manifest = manifests[0]
+        self.num_docs = sum(m["num_docs"] for m in manifests)
+        self.k1 = self.manifest["bm25"]["k1"]
+        self.b = self.manifest["bm25"]["b"]
+        self._cf_by_field = {}
+        for m in manifests:
+            for fld, st in m["fields"].items():
+                self._cf_by_field[fld] = self._cf_by_field.get(fld, 0) + st["cf_total"]
+        self._dir = {}  # unused; kept so inherited helpers stay harmless
+        self._readers = {}
+        self._cache = OrderedDict()
+        self._cache_items = 0
+        self._tokenizers = dict(TOKENIZERS)
+        for name, chain_spec in self.manifest.get("chains", {}).items():
+            from poseidon_ray.functions.normalize import make_chain_tokenizer
+
+            self._tokenizers[name] = make_chain_tokenizer(chain_spec)
+        self._field_tok = {
+            f: sc[1] for f, sc in self.manifest.get("field_spec", {}).items()
+        }
+
+    # ------------------------------------------------- remote plumbing
+
+    def _prefetch(self, field: str, terms: list[str]) -> None:
+        missing = [t for t in terms if (field, t) not in self._pcache]
+        if not missing:
+            return
+        futures = [a.fetch.remote(field, missing) for a in self._actors]
+        per_actor = ray.get(futures)
+        for i, t in enumerate(missing):
+            hits = [r[i] for r in per_actor if r[i] is not None]
+            if not hits:
+                self._scache[(field, t)] = (0, 0)
+                self._pcache[(field, t)] = (
+                    np.empty(0, np.uint64), np.empty(0, np.uint64),
+                    np.empty(0, np.uint64))
+                continue
+            df = sum(h[0] for h in hits)
+            cf = sum(h[1] for h in hits)
+            ids = np.concatenate([h[2] for h in hits])
+            tfs = np.concatenate([h[3] for h in hits])
+            dls = np.concatenate([h[4] for h in hits])
+            order = np.argsort(ids, kind="stable")
+            self._scache[(field, t)] = (df, cf)
+            self._pcache[(field, t)] = (ids[order], tfs[order], dls[order])
+
+    def term_stats(self, field: str, term: str):
+        if (field, term) not in self._scache:
+            self._prefetch(field, [term])
+        return self._scache[(field, term)]
+
+    def postings(self, field: str, term: str):
+        if (field, term) not in self._pcache:
+            self._prefetch(field, [term])
+        return self._pcache[(field, term)]
+
+    def search(self, text: str, field: str = "content", mode: str = "or",
+               k: int = 10, tokenizer: str | None = None,
+               algorithm: str = "exhaustive"):
+        tok = self._tokenizer_for(field, tokenizer)
+        self._prefetch(field, self._tokenize_query(text, tok))
+        return super().search(text, field=field, mode=mode, k=k,
+                              tokenizer=tokenizer, algorithm=algorithm)

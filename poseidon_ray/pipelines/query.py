@@ -170,8 +170,7 @@ class Searcher:
         ids, tfs, dls = self.postings(field, term)
         if len(ids) == 0:
             return ids, np.empty(0, np.float64)
-        df = self._dir[(field, term)]["df"]
-        idf = bm25_idf(self.num_docs, df)
+        idf = bm25_idf(self.num_docs, self.term_stats(field, term)[0])
         if doc_sel is not None:
             pos = np.searchsorted(ids, doc_sel)
             pos = np.minimum(pos, len(ids) - 1)
@@ -246,7 +245,7 @@ class Searcher:
             ids, tfs, dls = self.postings(field, t)
             if len(ids) == 0:
                 continue
-            idf = bm25_idf(self.num_docs, self._dir[(field, t)]["df"])
+            idf = bm25_idf(self.num_docs, self.term_stats(field, t)[0])
             sc = (idf * (self.k1 + 1.0)) * codec.bm25_impacts(
                 tfs, dls, avgdl, self.k1, self.b)
             nblocks = (len(ids) + bs - 1) // bs
