@@ -38,43 +38,57 @@ _U64 = np.uint64
 _MAX_VARINT_BYTES = 10
 
 
+_THRESHOLDS = np.array([1 << (7 * k) for k in range(1, _MAX_VARINT_BYTES)],
+                       dtype=_U64)
+
+
 def varint_lengths(values: np.ndarray) -> np.ndarray:
-    """Encoded byte count per value: 1 + floor((bitlen-1)/7), via threshold
-    compares (no float log — exact for the full uint64 range)."""
+    """Encoded byte count per value: 1 + floor((bitlen-1)/7) — one
+    searchsorted pass over the 9 power-of-128 thresholds (exact for the
+    full uint64 range, no per-threshold boolean arrays)."""
     v = np.ascontiguousarray(values, dtype=_U64)
-    nbytes = np.ones(len(v), dtype=np.int64)
-    for k in range(1, _MAX_VARINT_BYTES):
-        nbytes += (v >= _U64(1) << _U64(7 * k)).astype(np.int64)
-    return nbytes
+    return 1 + np.searchsorted(_THRESHOLDS, v, side="right")
 
 
 def encode_varint(values: np.ndarray) -> bytes:
-    """Vectorized LEB128 varint encode of a uint64 array."""
+    """Vectorized LEB128 varint encode of a uint64 array. Fast path: an
+    all-below-128 array (typical for tfs / doc_lens / dense deltas) IS its
+    byte representation."""
     v = np.ascontiguousarray(values, dtype=_U64)
     n = len(v)
     if n == 0:
         return b""
+    if v.max() < 128:
+        return v.astype(np.uint8).tobytes()
     nbytes = varint_lengths(v)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(ends[-1], dtype=np.uint8)
-    for b in range(_MAX_VARINT_BYTES):
+    max_b = int(nbytes.max())
+    for b in range(max_b):
         mask = nbytes > b
-        if not mask.any():
-            break
-        pos = starts[mask] + b
-        byte = ((v[mask] >> _U64(7 * b)) & _U64(0x7F)).astype(np.uint8)
-        cont = (nbytes[mask] > b + 1).astype(np.uint8) << 7
+        if mask.all():
+            pos = starts + b
+            byte = ((v >> _U64(7 * b)) & _U64(0x7F)).astype(np.uint8)
+            cont = ((nbytes > b + 1).astype(np.uint8)) << 7
+        else:
+            pos = starts[mask] + b
+            byte = ((v[mask] >> _U64(7 * b)) & _U64(0x7F)).astype(np.uint8)
+            cont = (nbytes[mask] > b + 1).astype(np.uint8) << 7
         out[pos] = byte | cont
     return out.tobytes()
 
 
 def decode_varint(data: bytes) -> np.ndarray:
-    """Vectorized varint decode -> uint64 array."""
+    """Vectorized varint decode -> uint64 array. Fast path: no continuation
+    bits anywhere means one byte per value."""
     buf = np.frombuffer(data, dtype=np.uint8)
     if len(buf) == 0:
         return np.empty(0, dtype=_U64)
-    is_end = (buf & 0x80) == 0
+    cont_mask = buf & 0x80
+    if not cont_mask.any():
+        return buf.astype(_U64)
+    is_end = cont_mask == 0
     ends = np.flatnonzero(is_end)
     starts = np.empty_like(ends)
     starts[0] = 0
@@ -83,7 +97,10 @@ def decode_varint(data: bytes) -> np.ndarray:
     vals = np.zeros(len(ends), dtype=_U64)
     for b in range(int(lengths.max())):
         mask = lengths > b
-        vals[mask] |= (buf[starts[mask] + b] & _U64(0x7F)).astype(_U64) << _U64(7 * b)
+        if mask.all():
+            vals |= (buf[starts + b] & _U64(0x7F)).astype(_U64) << _U64(7 * b)
+        else:
+            vals[mask] |= (buf[starts[mask] + b] & _U64(0x7F)).astype(_U64) << _U64(7 * b)
     return vals
 
 

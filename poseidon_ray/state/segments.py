@@ -35,10 +35,13 @@ import pyarrow.parquet as pq
 from poseidon_ray.functions import codec
 from poseidon_ray.schema import DIRECTORY_SCHEMA, SEGMENT_SCHEMA, IndexSpec
 
-SEGMENT_ROW_GROUP = 8   # rows per parquet row group => a term fetch reads one
-                        # small row group, the 40 KB InvertedIndexGz analog.
-                        # Measured on the 120k corpus: cold-query p50
-                        # 12.8 -> 7.9 ms, max 108 -> 69 ms vs 64-row groups.
+SEGMENT_ROW_GROUP = 32  # rows per parquet row group => a term fetch reads one
+                        # small row group, the ~40 KB InvertedIndexGz analog.
+                        # Sweep on the 120k/960k corpora: 8 rows = fastest
+                        # cold queries but 2.5x slower segment WRITES + 2.3x
+                        # bigger files at scale; 32 keeps ~most of the query
+                        # win at near-optimal build cost. Readers self-detect
+                        # the size from file metadata.
 
 
 def build_segment_partition(group: pa.Table, out_dir: str, spec: IndexSpec) -> pa.Table:
