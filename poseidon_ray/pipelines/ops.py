@@ -144,6 +144,33 @@ def q_search_and(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(out, type=pa.int64())})
 
 
+def q_search_or(sf_dir: str) -> pa.Table:
+    """Disjunctive match: per doc, how many of the query terms it contains
+    (the OR/union evaluation path, integer-exact for the oracle)."""
+    idx = oracle_index_dir(sf_dir)
+    s = Searcher(idx)
+    mapping = _docid_map(idx)
+    counts: dict[int, int] = {}
+    for t in AND_TERMS + ("scan",):
+        ids = s.postings("text", t)[0]
+        for d in ids.astype(np.int64):
+            orig = int(mapping[d])
+            counts[orig] = counts.get(orig, 0) + 1
+    items = sorted(counts.items())
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in items], type=pa.int64()),
+        "n_matched": pa.array([c for _, c in items], type=pa.int64()),
+    })
+
+
+def q_top_terms(sf_dir: str) -> pa.Table:
+    """Top 25 terms by cf (tiebreak term asc) from the engine directory."""
+    stats = q_term_stats(sf_dir).to_pandas()
+    stats = stats.sort_values(["cf", "term"], ascending=[False, True],
+                              kind="mergesort").head(25).reset_index(drop=True)
+    return pa.Table.from_pandas(stats[["term", "df", "cf"]], preserve_index=False)
+
+
 def q_token_count_topk(sf_dir: str) -> pa.Table:
     ds = _docs(sf_dir)
 
@@ -320,6 +347,17 @@ ORACLE_SQL: dict[str, str] = {
         f"WHERE term IN ('{AND_TERMS[0]}', '{AND_TERMS[1]}') "
         f"GROUP BY doc_id HAVING count(DISTINCT term) = 2 ORDER BY doc_id"
     ),
+    "search_or": (
+        f"{_TOKS_CTE} SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST(count(DISTINCT term) AS BIGINT) AS n_matched FROM toks "
+        f"WHERE term IN ('{AND_TERMS[0]}', '{AND_TERMS[1]}', 'scan') "
+        f"GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "top_terms": (
+        f"{_TOKS_CTE} SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, "
+        "CAST(count(*) AS BIGINT) AS cf FROM toks WHERE term <> '' "
+        "GROUP BY term ORDER BY cf DESC, term LIMIT 25"
+    ),
     "token_count_topk": (
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
         "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), "
@@ -363,6 +401,8 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "term_stats": q_term_stats,
     "search_and": q_search_and,
+    "search_or": q_search_or,
+    "top_terms": q_top_terms,
     "token_count_topk": q_token_count_topk,
     "exact_dedup": q_exact_dedup,
     "lang_dist": q_lang_dist,

@@ -57,10 +57,10 @@ def test_all_queries_run(entry_mod):
         assert out is not None, name
 
 
-@pytest.mark.parametrize("name", ["term_stats", "search_and",
-                                  "token_count_topk", "exact_dedup",
-                                  "lang_dist", "quality_stats", "events_pv",
-                                  "ann_topk"])
+@pytest.mark.parametrize("name", ["term_stats", "search_and", "search_or",
+                                  "top_terms", "token_count_topk",
+                                  "exact_dedup", "lang_dist",
+                                  "quality_stats", "events_pv", "ann_topk"])
 def test_oracle_match(entry_mod, ddb, name):
     qs, sqls = entry_mod.queries(), entry_mod.oracle_sql()
     assert name in sqls
