@@ -23,7 +23,6 @@ print("BUILD_DONE")
 """
 
 
-@pytest.mark.timeout(600)
 def test_kill_mid_build_then_resume(ray_session, small_corpus_path, tmp_path):
     from poseidon_ray.pipelines.build import build_index
     from poseidon_ray.pipelines.query import Searcher
