@@ -58,7 +58,7 @@ def build_index(
     spec: IndexSpec | None = None,
     *,
     tokenize_concurrency: int | tuple[int, int] = (1, 8),
-    tokenize_batch_size: int = 256,
+    tokenize_batch_size: int = 512,
     detect_hot: bool = False,
     hot_sample_frac: float = 0.05,
     docid_base: int = 0,
