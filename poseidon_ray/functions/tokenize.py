@@ -144,9 +144,10 @@ def tokenize_code(values: pa.Array) -> tuple[list, list, np.ndarray]:
 
 
 def _trigrams_one(text: str) -> tuple[np.ndarray, np.ndarray]:
-    """Unique trigrams + counts of one normalized string, via a numpy
-    sliding window over the utf-8 bytes (terms are latin-1-decoded 3-byte
-    strings — a lossless bytes<->str mapping shared with the query side)."""
+    """Unique trigrams + counts of one normalized string (reference
+    implementation for tests; the batch path below is the hot one). Terms
+    are latin-1-decoded 3-byte strings — a lossless bytes<->str mapping
+    shared with the query side."""
     b = text.encode("utf-8")
     if len(b) < 3:
         return np.empty(0, dtype=object), np.empty(0, dtype=np.uint32)
@@ -166,17 +167,59 @@ def normalize_for_trigram(text: str) -> str:
 
 
 def tokenize_trigram(values: pa.Array) -> tuple[list, list, np.ndarray]:
+    """Batch-vectorized char-trigram tokenizer: ONE sliding window over the
+    batch's concatenated utf-8 buffer, row membership by Arrow offsets, and
+    one integer ``np.unique`` over packed (row << 24 | 3-byte-gram) keys —
+    no per-row Python. Each distinct gram is decoded to str exactly once
+    per batch. Output order/values are identical to ``_trigrams_one`` per
+    row (both sort by gram byte order)."""
     values = pc.fill_null(values, "")
     lowered = pc.utf8_lower(values)
     collapsed = pc.replace_substring_regex(lowered, r"\s+", " ")
     trimmed = pc.utf8_trim_whitespace(collapsed)
-    terms_out, tfs_out = [], []
-    doc_len = np.zeros(len(values), dtype=np.uint32)
-    for i, text in enumerate(trimmed.to_pylist()):
-        t, c = _trigrams_one(text)
-        terms_out.append(t.tolist())
-        tfs_out.append(c.tolist())
-        doc_len[i] = c.sum() if len(c) else 0
+    if isinstance(trimmed, pa.ChunkedArray):
+        trimmed = trimmed.combine_chunks()
+    n_rows = len(trimmed)
+    empty = ([[] for _ in range(n_rows)], [[] for _ in range(n_rows)],
+             np.zeros(n_rows, dtype=np.uint32))
+    if n_rows == 0:
+        return empty
+    off_buf = trimmed.buffers()[1]
+    data_buf = trimmed.buffers()[2]
+    if data_buf is None:
+        return empty
+    offsets = np.frombuffer(off_buf, dtype=np.int32)[
+        trimmed.offset: trimmed.offset + n_rows + 1].astype(np.int64)
+    data = np.frombuffer(data_buf, dtype=np.uint8)
+    row_lens = offsets[1:] - offsets[:-1]
+    counts = np.maximum(row_lens - 2, 0)          # windows per row
+    doc_len = counts.astype(np.uint32)
+    total = int(counts.sum())
+    if total == 0:
+        return empty[0], empty[1], doc_len
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    parents = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    # window start positions: arange + per-row shift (one repeat, no intra)
+    pos = (np.arange(total, dtype=np.int64)
+           + np.repeat(offsets[:-1] - cum[:-1], counts))
+    # pack every 3-byte window of the WHOLE buffer once, then one gather
+    d = data.astype(np.uint64)
+    g_all = (d[:-2] << np.uint64(16)) | (d[1:-1] << np.uint64(8)) | d[2:]
+    key = (parents.astype(np.uint64) << np.uint64(24)) | g_all[pos]
+    uniq_keys, tf = np.unique(key, return_counts=True)
+    up = (uniq_keys >> np.uint64(24)).astype(np.int64)
+    ug = uniq_keys & np.uint64(0xFFFFFF)
+    distinct, inv = np.unique(ug, return_inverse=True)
+    db = np.empty((len(distinct), 3), dtype=np.uint8)
+    db[:, 0] = distinct >> np.uint64(16)
+    db[:, 1] = (distinct >> np.uint64(8)) & np.uint64(0xFF)
+    db[:, 2] = distinct & np.uint64(0xFF)
+    lut = np.array([row.tobytes().decode("latin-1") for row in db], dtype=object)
+    terms_flat = lut[inv]
+    tf32 = tf.astype(np.uint32)
+    bounds = np.searchsorted(up, np.arange(n_rows + 1))
+    terms_out = [terms_flat[bounds[i]:bounds[i + 1]].tolist() for i in range(n_rows)]
+    tfs_out = [tf32[bounds[i]:bounds[i + 1]].tolist() for i in range(n_rows)]
     return terms_out, tfs_out, doc_len
 
 

@@ -34,6 +34,7 @@ from poseidon_ray.stages import ann, dedup
 # tokens chosen to exist in the synthetic documents vocabulary
 AND_TERMS = ("table", "window")
 BM25_QUERY = "table window scan"
+_BM25_TERMS_SQL = "'table', 'window', 'scan'"
 N_ANN_QUERIES = 5
 ANN_K = 10
 
@@ -150,16 +151,14 @@ def q_search_or(sf_dir: str) -> pa.Table:
     idx = oracle_index_dir(sf_dir)
     s = Searcher(idx)
     mapping = _docid_map(idx)
-    counts: dict[int, int] = {}
-    for t in AND_TERMS + ("scan",):
-        ids = s.postings("text", t)[0]
-        for d in ids.astype(np.int64):
-            orig = int(mapping[d])
-            counts[orig] = counts.get(orig, 0) + 1
-    items = sorted(counts.items())
+    all_ids = [s.postings("text", t)[0].astype(np.int64)
+               for t in AND_TERMS + ("scan",)]
+    docs, counts = np.unique(np.concatenate(all_ids), return_counts=True)
+    orig = mapping[docs]
+    order = np.argsort(orig, kind="stable")
     return pa.table({
-        "doc_id": pa.array([d for d, _ in items], type=pa.int64()),
-        "n_matched": pa.array([c for _, c in items], type=pa.int64()),
+        "doc_id": pa.array(orig[order], type=pa.int64()),
+        "n_matched": pa.array(counts[order], type=pa.int64()),
     })
 
 
@@ -263,19 +262,62 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
     return out.select(["query_id", "vec_id", "rank"])
 
 
-# ------------------------------------------------------------- rows-only
-
 def q_bm25_topk(sf_dir: str) -> pa.Table:
+    """Ranked BM25 top-20 through the REAL engine (build, shuffle, segment
+    codec, WAND) — SQL-oracled: ranks + doc ids are integer-exact; the
+    float64 score is fixed-pointed at 1e-6 (both sides compute the same
+    closed-form Okapi BM25, agreeing to ~1e-12, so the rounding is stable)."""
     idx = oracle_index_dir(sf_dir)
     s = Searcher(idx)
     hits = s.search(BM25_QUERY, field="text", mode="or", k=20,
                     tokenizer="simple", algorithm="wand")
     mapping = _docid_map(idx)
+    scores = np.array([sc for _, sc in hits], dtype=np.float64)
     return pa.table({
         "rank": pa.array(range(len(hits)), type=pa.int64()),
         "doc_id": pa.array([int(mapping[d]) for d, _ in hits], type=pa.int64()),
-        "score": pa.array([sc for _, sc in hits], type=pa.float64()),
+        "score_r6": pa.array(np.round(scores * 1e6).astype(np.int64)),
     })
+
+
+def q_minhash_truth(sf_dir: str) -> pa.Table:
+    """Near-dup TRUTH set at set-Jaccard >= 0.9 via the full distributed
+    path: MinHash(128) over token sets -> 32-band LSH candidates (exhaustive
+    buckets, est >= 0.7 prune: miss probability ~1e-9 per true pair) ->
+    exact verification shuffle (verify_pairs_exact_jaccard) -> float-free
+    integer threshold 10*n_inter >= 9*n_union. Matches the DuckDB
+    exact-self-join oracle row-for-row."""
+    docs = _docs(sf_dir)
+    cands = dedup.minhash_candidate_pairs(
+        docs, num_perm=128, bands=32, shingle_k=1, min_jaccard=0.7,
+        max_bucket=None)
+    verified = dedup.verify_pairs_exact_jaccard(docs, cands, num_shards=64)
+    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                        ("n_inter", pa.int64()), ("n_union", pa.int64())])
+    out = _collect(verified, schema)
+    i = out["n_inter"].to_numpy(zero_copy_only=False)
+    u = out["n_union"].to_numpy(zero_copy_only=False)
+    out = out.filter(pa.array((10 * i >= 9 * u) & (u > 0)))
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+def q_cosine_pairs(sf_dir: str) -> pa.Table:
+    """EXACT all-pairs cosine >= 0.4 over the embeddings (blocked cartesian,
+    no driver matrix) — the recall baseline for the LSH variant, DuckDB
+    list_cosine_similarity oracle."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = _collect(dedup.cosine_pairs_exact(ds, min_cosine=0.4, n_bands=8),
+                   _VEC_SCHEMA)
+    cos = out["cosine"].to_numpy(zero_copy_only=False)
+    out = pa.table({
+        "vec_a": out["vec_a"],
+        "vec_b": out["vec_b"],
+        "cos_r6": pa.array(np.round(cos * 1e6).astype(np.int64)),
+    })
+    return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
+# ------------------------------------------------------------- rows-only
 
 
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
@@ -289,8 +331,12 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
 
 
 def q_embed_neardup(sf_dir: str) -> pa.Table:
+    """Banded-LSH near-dup pairs. min_cosine=0.4 because the synthetic
+    embeddings top out near cosine ~0.5 — at 0.8 the output was empty and
+    the pipeline untested (round-1 finding)."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    out = _collect(dedup.embedding_neardup_pairs(ds, dim=64, min_cosine=0.8), _VEC_SCHEMA)
+    out = _collect(dedup.embedding_neardup_pairs(ds, dim=64, min_cosine=0.4),
+                   _VEC_SCHEMA)
     return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
 
 
@@ -396,6 +442,52 @@ ORACLE_SQL: dict[str, str] = {
         f"FROM embeddings q, embeddings e WHERE q.vec_id < {N_ANN_QUERIES} "
         f"QUALIFY rank < {ANN_K} ORDER BY query_id, rank"
     ),
+    # Okapi BM25 (k1=1.2, b=0.75, idf=ln(1+(N-df+.5)/(df+.5))) over the same
+    # `toks` tokenization the engine's `simple` tokenizer uses; scores
+    # fixed-pointed at 1e-6 (both engines compute the identical closed form
+    # in float64 and agree to ~1e-12).
+    "bm25_topk": (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), "
+        "'[^a-z0-9]+')) AS term FROM documents), "
+        "tk AS (SELECT doc_id, term FROM toks WHERE term <> ''), "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        "(SELECT count(*) FROM tk)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl), "
+        "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tk "
+        f"WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tk GROUP BY doc_id), "
+        "df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tk "
+        f"WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY term), "
+        "sc AS (SELECT tf.doc_id, sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) "
+        "* (1.2 + 1.0) * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score "
+        "FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id "
+        "CROSS JOIN stats GROUP BY tf.doc_id) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank, "
+        "CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(round(score * 1000000) AS BIGINT) AS score_r6 "
+        "FROM sc ORDER BY rank LIMIT 20"
+    ),
+    # exact set-Jaccard >= 0.9 ground truth (integer threshold, float-free)
+    "minhash_truth": (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), "
+        "'[^a-z0-9]+')) AS term FROM documents), "
+        "tk AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+        "FROM tk a JOIN tk b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, "
+        "CAST(i AS BIGINT) AS n_inter, CAST(sa.n + sb.n - i AS BIGINT) AS n_union "
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE 10 * i >= 9 * (sa.n + sb.n - i) ORDER BY doc_a, doc_b"
+    ),
+    # exact all-pairs cosine >= 0.4, fixed-pointed at 1e-6
+    "cosine_pairs": (
+        "SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b, "
+        "CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS cos_r6 "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY vec_a, vec_b"
+    ),
 }
 
 QUERIES = {
@@ -409,9 +501,11 @@ QUERIES = {
     "quality_stats": q_quality_stats,
     "events_pv": q_events_pv,
     "ann_topk": q_ann_topk,
+    "bm25_topk": q_bm25_topk,
+    "minhash_truth": q_minhash_truth,
+    "cosine_pairs": q_cosine_pairs,
     # rows-only (non-SQL-expressible: engine internals / sketches / ANN
     # approximations)
-    "bm25_topk": q_bm25_topk,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embed_neardup": q_embed_neardup,

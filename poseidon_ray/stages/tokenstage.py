@@ -76,7 +76,10 @@ def make_chunks(
     gkey = codes.astype(np.uint64) * np.uint64(spec.salt_factor) + salt
     order = np.lexsort((flat_doc, gkey))
     gkey_s = gkey[order]
-    starts = np.flatnonzero(np.diff(gkey_s, prepend=np.uint64(gkey_s[0] + 1)))
+    # explicit != boundaries (np.diff-with-prepend promotes uint64+int to
+    # float64 on NumPy 1.x and loses exactness above 2^53)
+    starts = np.flatnonzero(np.concatenate(
+        [[True], gkey_s[1:] != gkey_s[:-1]]))
     ends = np.append(starts[1:], len(gkey_s))
 
     group_terms = uniq_terms[(gkey_s[starts] // np.uint64(spec.salt_factor)).astype(np.int64)]
