@@ -46,15 +46,16 @@ def cmd_build(args) -> None:
 
 def cmd_query(args) -> None:
     from poseidon_ray.pipelines.query import Searcher
-    from poseidon_ray.stages.docids import fetch_docs
+    from poseidon_ray.stages.docids import fetch_docs, load_docstore_manifest
 
     s = Searcher(args.index)
     hits = s.search(args.text, field=args.field, mode=args.mode, k=args.k,
                     algorithm=args.algorithm)
     out = [{"doc_id": d, "score": sc} for d, sc in hits]
     if args.fetch and hits:
-        with open(f"{args.index}/docstore.json") as f:
-            dman = json.load(f)
+        # merged across generations — a plain single build is the
+        # one-generation special case
+        dman = load_docstore_manifest(args.index)
         docs = fetch_docs(args.index, dman, [d for d, _ in hits],
                           columns=["doc_id", "repo", "path", "commit"])
         meta = {r["doc_id"]: r for r in docs.to_pylist()}

@@ -18,12 +18,15 @@ import json
 import os
 from functools import partial
 
+import numpy as np
 import pyarrow as pa
+import ray
 import ray.data
 
-from poseidon_ray.schema import CORPUS_SCHEMA, IndexSpec
+from poseidon_ray.schema import CHUNK_SCHEMA, CORPUS_SCHEMA, IndexSpec
 from poseidon_ray.sources.fixtures import corpus_table  # noqa: F401 (re-export)
-from poseidon_ray.stages.docids import build_docstore, read_docstore
+from poseidon_ray.stages.docids import (_block_refs_and_counts, build_docstore,
+                                        read_docstore)
 from poseidon_ray.stages.tokenstage import TokenizeAndCombine
 from poseidon_ray.state import segments as seg
 
@@ -64,8 +67,13 @@ def build_index(
     docid_base: int = 0,
     stage_barrier: bool = True,
     blacklist_path: str | None = None,
+    shuffle: str = "manual",
 ) -> dict:
-    """Build (or resume) the full index; returns the global manifest."""
+    """Build (or resume) the full index; returns the global manifest.
+
+    ``shuffle``: "manual" (default) = sort-free two-wave hash exchange via
+    raw tasks (W partitioners x P reducers — see ``_manual_exchange``);
+    "ray" = Dataset groupby(part) (sort-based, kept for comparison)."""
     spec = spec or IndexSpec()
     os.makedirs(out_dir, exist_ok=True)
 
@@ -117,6 +125,9 @@ def build_index(
         batch_size=tokenize_batch_size,
         concurrency=tokenize_concurrency,
     )
+    # drop artifacts from a different spec / wider layout in this out_dir:
+    # they would otherwise leak into the manifest stats and directory loads
+    seg.purge_stale_partitions(out_dir, spec)
     done = seg.completed_partitions(out_dir, spec)
     if done:
         done_arr = pa.array(sorted(done), type=pa.uint32())
@@ -128,22 +139,83 @@ def build_index(
 
         chunks = chunks.map_batches(_drop_done, batch_format="pyarrow")
 
-    # materialize the (packed, small) chunk set before the shuffle: the MR
-    # map-output barrier. Without it the streaming executor runs the actor
-    # pool concurrently with the sort and they fight for CPUs (measured
-    # 124s -> 72s at 32 cpus on the 480k-row corpus). Chunk data ≈ final
-    # index size, so the object store (with spill) holds it comfortably.
-    if stage_barrier:
-        chunks = chunks.materialize()
-
-    # stage 5-6: the wide step — term-hash shuffle + per-partition reduce
-    summaries = chunks.groupby("part").map_groups(
-        partial(seg.build_segment_partition, out_dir=out_dir, spec=spec),
-        batch_format="pyarrow",
-    )
-    summaries.materialize()  # tiny: one row per partition
+    # stage 5-6: the wide step — term-hash exchange + per-partition reduce
+    if shuffle == "ray":
+        # Dataset-native path: global sort-based groupby. Kept as the
+        # reference implementation; measured super-linear at ~1M rows on
+        # this host (sort machinery + object churn), hence not the default.
+        if stage_barrier:
+            chunks = chunks.materialize()
+        summaries = chunks.groupby("part").map_groups(
+            partial(seg.build_segment_partition, out_dir=out_dir, spec=spec),
+            batch_format="pyarrow",
+        )
+        summaries.materialize()  # tiny: one row per partition
+    else:
+        _manual_exchange(chunks.materialize(), out_dir, spec)
 
     return seg.write_index_manifest(out_dir, spec, doc_manifest["num_docs"])
+
+
+# -------------------------------------------------------- manual exchange
+
+@ray.remote
+def _partition_blocks(nparts: int, *tables: pa.Table) -> list[pa.Table]:
+    """Split a slab of chunk blocks into one table per term partition.
+    Hash partitioning only — NO sort: the segment reducer lexsorts its
+    partition anyway, so the global sort a Dataset groupby would run here
+    is pure overhead (this is the MR map-output spill, kept in the object
+    store; Ray spills it to disk under pressure exactly like MR does)."""
+    t = pa.concat_tables([x for x in tables if x.num_rows])
+    if t.num_rows == 0:
+        return [CHUNK_SCHEMA.empty_table()] * nparts
+    parts = t["part"].to_numpy(zero_copy_only=False)
+    order = np.argsort(parts, kind="stable")
+    sorted_parts = parts[order]
+    bounds = np.searchsorted(sorted_parts, np.arange(nparts + 1))
+    t = t.take(pa.array(order, type=pa.int64()))
+    return [t.slice(bounds[p], bounds[p + 1] - bounds[p]).combine_chunks()
+            for p in range(nparts)]
+
+
+@ray.remote
+def _reduce_partition(out_dir: str, spec: IndexSpec, *tables: pa.Table):
+    g = pa.concat_tables([x for x in tables if x.num_rows])
+    if g.num_rows == 0:
+        return None
+    return seg.build_segment_partition(g, out_dir=out_dir, spec=spec)
+
+
+def _manual_exchange(chunks_mds, out_dir: str, spec: IndexSpec,
+                     num_writers: int | None = None) -> None:
+    """Two-wave external-style shuffle (the MR exchange the reference's
+    index job uses, without the sort): W partitioner tasks each split their
+    share of the materialized chunk blocks into P per-partition tables
+    (num_returns=P refs, zero driver traffic), then one reduce task per
+    partition concatenates its W inputs and writes segment + directory +
+    manifest. Resume-skipped partitions simply launch no reduce task."""
+    blocks, _counts = _block_refs_and_counts(chunks_mds)
+    if not blocks:
+        return
+    if num_writers is None:
+        num_writers = max(1, min(
+            int(ray.available_resources().get("CPU", 8)), len(blocks)))
+    nparts = spec.num_partitions
+    grid = []
+    for w in range(num_writers):
+        share = blocks[w::num_writers]
+        if not share:
+            continue
+        grid.append(_partition_blocks.options(
+            num_returns=nparts).remote(nparts, *share))
+    # normalize: with nparts == 1, num_returns=1 yields a single ref
+    grid = [g if isinstance(g, list) else [g] for g in grid]
+    done = seg.completed_partitions(out_dir, spec)
+    futs = [
+        _reduce_partition.remote(out_dir, spec, *[row[p] for row in grid])
+        for p in range(nparts) if p not in done
+    ]
+    ray.get(futs)
 
 
 # ---------------------------------------------------------------- incremental
@@ -180,8 +252,19 @@ def extend_index(index_dir: str, new_corpus: str | ray.data.Dataset,
     spec = spec or IndexSpec()
     gens = list_generations(index_dir)
     total = 0
+    prior = []
     for g in gens:
-        total += seg.load_index_manifest(os.path.join(index_dir, g))["num_docs"]
+        m = seg.load_index_manifest(os.path.join(index_dir, g))
+        prior.append(m)
+        total += m["num_docs"]
+    # the new generation must be mergeable with every existing one — check
+    # BEFORE building, against the spec we are about to build with
+    seg.check_generation_compat(prior + [{
+        "block_size": spec.block_size,
+        "field_spec": {f: list(sc) for f, sc in spec.fields.items()},
+        "chains": dict(spec.chains),
+        "bm25": {"k1": spec.bm25.k1, "b": spec.bm25.b},
+    }])
     gname = f"gen-{len(gens):05d}"
     build_index(new_corpus, os.path.join(index_dir, gname), spec,
                 docid_base=total, **build_kwargs)

@@ -37,8 +37,10 @@ class DirectoryShard:
         want = set(parts)
         self._dir: dict[tuple[str, str], dict] = {}
         self._readers: dict[str, seg.SegmentReader] = {}
-        for g in list_generations(index_dir):
-            gdir = os.path.normpath(os.path.join(index_dir, g))
+        gdirs = [os.path.normpath(os.path.join(index_dir, g))
+                 for g in list_generations(index_dir)]
+        seg.check_generation_compat([seg.load_index_manifest(g) for g in gdirs])
+        for gdir in gdirs:
             man = seg.load_index_manifest(gdir)
             self.block_size = man.get("block_size", 128)
             dir_dir = os.path.join(gdir, "directory")
@@ -111,6 +113,7 @@ class DistributedSearcher(Searcher):
         gen_dirs = [os.path.normpath(os.path.join(index_dir, g))
                     for g in list_generations(index_dir)]
         manifests = [seg.load_index_manifest(g) for g in gen_dirs]
+        seg.check_generation_compat(manifests)
         self.manifest = manifests[0]
         self.num_docs = sum(m["num_docs"] for m in manifests)
         self.k1 = self.manifest["bm25"]["k1"]
@@ -169,8 +172,9 @@ class DistributedSearcher(Searcher):
 
     def search(self, text: str, field: str = "content", mode: str = "or",
                k: int = 10, tokenizer: str | None = None,
-               algorithm: str = "exhaustive"):
+               algorithm: str = "exhaustive", offset: int = 0):
         tok = self._tokenizer_for(field, tokenizer)
         self._prefetch(field, self._tokenize_query(text, tok))
         return super().search(text, field=field, mode=mode, k=k,
-                              tokenizer=tokenizer, algorithm=algorithm)
+                              tokenizer=tokenizer, algorithm=algorithm,
+                              offset=offset)

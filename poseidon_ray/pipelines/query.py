@@ -46,7 +46,8 @@ def bm25_idf(num_docs: int, df: int) -> float:
 class Searcher:
     """Stateful query evaluator; init cost paid once (directory pin)."""
 
-    def __init__(self, index_dir: str, cache_items: int = 4096):
+    def __init__(self, index_dir: str, cache_items: int = 4096,
+                 prefetch_hot: bool = True):
         import os
 
         from poseidon_ray.pipelines.build import list_generations
@@ -58,6 +59,7 @@ class Searcher:
         gen_dirs = [os.path.normpath(os.path.join(index_dir, g))
                     for g in list_generations(index_dir)]
         manifests = [seg.load_index_manifest(g) for g in gen_dirs]
+        seg.check_generation_compat(manifests)
         self.manifest = manifests[0]
         self.num_docs = sum(m["num_docs"] for m in manifests)
         self.k1 = self.manifest["bm25"]["k1"]
@@ -97,6 +99,23 @@ class Searcher:
         self._field_tok = {
             f: sc[1] for f, sc in self.manifest.get("field_spec", {}).items()
         }
+        # decode the build's hot-term postings NOW: they are by definition
+        # the terms queries hit most, and their cold first decode dominated
+        # query p99 (136 ms at sf0.1, r1 bench). Paid once per Searcher.
+        if prefetch_hot:
+            import json as _json
+
+            hot: set[str] = set()
+            for gdir in gen_dirs:
+                hp = os.path.join(gdir, "hot_terms.json")
+                if os.path.exists(hp):
+                    with open(hp) as f:
+                        hot.update(_json.load(f))
+            fields = list(self._field_tok) or ["content"]
+            for term in hot:
+                for fld in fields:
+                    if (fld, term) in self._dir:
+                        self.postings(fld, term)
 
     def _tokenizer_for(self, field: str, override: str | None) -> str:
         if override:
@@ -189,7 +208,13 @@ class Searcher:
 
     def search(self, text: str, field: str = "content", mode: str = "or",
                k: int = 10, tokenizer: str | None = None,
-               algorithm: str = "exhaustive") -> list[tuple[int, float]]:
+               algorithm: str = "exhaustive",
+               offset: int = 0) -> list[tuple[int, float]]:
+        """Top-k (score desc, doc_id asc). ``offset`` pages the ranked list
+        — the slice [offset, offset+k), like the reference's page slice
+        [page*size, (page+10)*size) (service/searcher/module/poseidon.go:
+        134-143): evaluate top-(offset+k), return the tail page."""
+        kk = k + offset
         tok = self._tokenizer_for(field, tokenizer)
         terms = self._tokenize_query(text, tok)
         if not terms:
@@ -203,11 +228,10 @@ class Searcher:
             for t in terms:  # sorted term order — float-identical to oracle
                 ids, sc = self._term_score(field, t, cand)
                 total += sc  # ids == cand by construction
-            return self._topk(cand, total, k)
+            return self._topk(cand, total, kk)[offset:]
         if algorithm == "wand":
-            return self._search_wand(terms, field, k)
+            return self._search_wand(terms, field, kk)[offset:]
         # OR exhaustive: accumulate over the union
-        acc: dict = {}
         all_ids = []
         per_term = []
         for t in terms:
@@ -223,7 +247,7 @@ class Searcher:
                 continue
             pos = np.searchsorted(union, ids)
             total[pos] += sc
-        return self._topk(union, total, k)
+        return self._topk(union, total, kk)[offset:]
 
     # -------------------------------------------------- block-max WAND
 

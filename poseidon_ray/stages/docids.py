@@ -119,6 +119,24 @@ def _block_refs_and_counts(mds) -> tuple[list, list[int]]:
         return refs, list(ray.get([_nrows.remote(b) for b in refs]))
 
 
+def load_docstore_manifest(index_dir: str) -> dict:
+    """Docstore manifest merged across generations (first_doc_id is already
+    globally dense — each generation was built with its docid_base), so
+    multi-generation content fetch is the same (file, row) arithmetic."""
+    from poseidon_ray.pipelines.build import list_generations
+
+    files: list[dict] = []
+    total = 0
+    for g in list_generations(index_dir):
+        gdir = os.path.normpath(os.path.join(index_dir, g))
+        with open(os.path.join(gdir, "docstore.json")) as f:
+            m = json.load(f)
+        files.extend(m["files"])
+        total += m["num_docs"]
+    files.sort(key=lambda fi: fi["first_doc_id"])
+    return {"files": files, "num_docs": total}
+
+
 def read_docstore(out_dir: str) -> ray.data.Dataset:
     """Read exactly the manifest's files (never stray .tmp from a crash)."""
     with open(os.path.join(out_dir, "docstore.json")) as f:

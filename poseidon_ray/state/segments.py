@@ -229,14 +229,62 @@ def completed_partitions(out_dir: str, spec: IndexSpec) -> set[int]:
     return done
 
 
-def load_partition_manifests(out_dir: str) -> list[dict]:
+def load_partition_manifests(out_dir: str,
+                             config_hash: str | None = None) -> list[dict]:
+    """Partition manifests, optionally restricted to one config hash —
+    stale-config artifacts left by a rebuild-with-different-spec must never
+    leak into global stats or the query directory."""
     seg_dir = os.path.join(out_dir, "segments")
     out = []
     for name in sorted(os.listdir(seg_dir)):
         if name.startswith("manifest-") and name.endswith(".json"):
             with open(os.path.join(seg_dir, name)) as f:
-                out.append(json.load(f))
+                m = json.load(f)
+            if config_hash is None or m.get("config_hash") == config_hash:
+                out.append(m)
     return out
+
+
+def purge_stale_partitions(out_dir: str, spec: IndexSpec) -> int:
+    """Delete segment/directory/manifest artifacts that do not belong to
+    ``spec``: stale config hash, orphaned (no manifest), or partition
+    number >= num_partitions (left over from a wider layout — those would
+    never be rebuilt and would silently corrupt directory loads). Returns
+    the number of partitions purged."""
+    seg_dir = os.path.join(out_dir, "segments")
+    dir_dir = os.path.join(out_dir, "directory")
+    if not os.path.isdir(seg_dir):
+        return 0
+    want = spec.config_hash()
+    parts: set[int] = set()
+    for d in (seg_dir, dir_dir):
+        if not os.path.isdir(d):
+            continue
+        for name in os.listdir(d):
+            stem = name.split(".")[0]
+            if "-" in stem:
+                try:
+                    parts.add(int(stem.rsplit("-", 1)[1]))
+                except ValueError:
+                    pass
+    purged = 0
+    for part in parts:
+        man = os.path.join(seg_dir, f"manifest-{part:05d}.json")
+        ok = False
+        if part < spec.num_partitions and os.path.exists(man):
+            with open(man) as f:
+                ok = json.load(f).get("config_hash") == want
+        if ok:
+            continue
+        removed = False
+        for path in (man,
+                     os.path.join(seg_dir, f"segment-{part:05d}.parquet"),
+                     os.path.join(dir_dir, f"directory-{part:05d}.parquet")):
+            if os.path.exists(path):
+                os.remove(path)
+                removed = True
+        purged += int(removed)
+    return purged
 
 
 def write_index_manifest(out_dir: str, spec: IndexSpec, num_docs: int) -> dict:
@@ -246,7 +294,7 @@ def write_index_manifest(out_dir: str, spec: IndexSpec, num_docs: int) -> dict:
     of cf (every token occurrence counted exactly once on both sides), so no
     doc-length table is ever materialized.
     """
-    parts = load_partition_manifests(out_dir)
+    parts = load_partition_manifests(out_dir, spec.config_hash())
     cf_by_field: dict[str, int] = {}
     for m in parts:
         for fld, cf in m["cf_total_by_field"].items():
@@ -283,13 +331,49 @@ def load_index_manifest(out_dir: str) -> dict:
 
 
 def load_directory(out_dir: str) -> pa.Table:
+    """Directory rows of every VALID partition — validity = a manifest with
+    the index's own config hash. Stale directory files from a prior spec in
+    the same out_dir are skipped, not merged (they would corrupt df/cf and
+    query results silently)."""
     dir_dir = os.path.join(out_dir, "directory")
-    tables = [
-        pq.read_table(os.path.join(dir_dir, n))
-        for n in sorted(os.listdir(dir_dir))
-        if n.endswith(".parquet")
-    ]
+    want = None
+    idx_path = os.path.join(out_dir, "index.json")
+    if os.path.exists(idx_path):
+        with open(idx_path) as f:
+            want = json.load(f).get("config_hash")
+    valid = {m["partition"]
+             for m in load_partition_manifests(out_dir, want)} if want else None
+    tables = []
+    for n in sorted(os.listdir(dir_dir)):
+        if not n.endswith(".parquet"):
+            continue
+        if valid is not None:
+            try:
+                part = int(n.split(".")[0].rsplit("-", 1)[1])
+            except ValueError:
+                continue
+            if part not in valid:
+                continue
+        tables.append(pq.read_table(os.path.join(dir_dir, n)))
     return pa.concat_tables(tables) if tables else DIRECTORY_SCHEMA.empty_table()
+
+
+def check_generation_compat(manifests: list[dict]) -> None:
+    """Generations merge like salted shards — which is only sound when every
+    generation agrees on the physical + scoring config. A generation built
+    with a different block_size decodes to garbage doc_ids; different
+    field->tokenizer maps mis-tokenize queries; different BM25 params break
+    score merging. Raise loudly instead (ADVICE r1)."""
+    if len(manifests) < 2:
+        return
+    base = manifests[0]
+    for key in ("block_size", "field_spec", "chains", "bm25"):
+        for m in manifests[1:]:
+            if m.get(key) != base.get(key):
+                raise ValueError(
+                    f"incompatible generations: {key!r} differs "
+                    f"({base.get(key)!r} vs {m.get(key)!r}); rebuild or "
+                    f"compact before querying")
 
 
 class SegmentReader:
