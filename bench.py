@@ -69,7 +69,7 @@ def run_headline(sf_dir: str, num_cpus: int, workdir: str) -> dict:
     t0 = time.monotonic()
     manifest = build_index(docs_as_corpus(sf_dir), os.path.join(workdir, "idx"),
                            spec, tokenize_concurrency=(1, max(2, num_cpus)),
-                           tokenize_batch_size=128)
+                           tokenize_batch_size=512)
     timings["build_index"] = time.monotonic() - t0
 
     # --- query workload: mixed AND/OR/WAND/trigram/count, 60 queries

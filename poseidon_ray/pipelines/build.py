@@ -140,6 +140,12 @@ def build_index(
         chunks = chunks.map_batches(_drop_done, batch_format="pyarrow")
 
     # stage 5-6: the wide step — term-hash exchange + per-partition reduce
+    if shuffle != "ray":
+        chunks = chunks.materialize()
+        # the sorted-corpus blocks are no longer needed once the chunk set
+        # is materialized — drop the reference so plasma can evict them
+        # before the exchange doubles the resident bytes
+        del ds
     if shuffle == "ray":
         # Dataset-native path: global sort-based groupby. Kept as the
         # reference implementation; measured super-linear at ~1M rows on
@@ -152,7 +158,7 @@ def build_index(
         )
         summaries.materialize()  # tiny: one row per partition
     else:
-        _manual_exchange(chunks.materialize(), out_dir, spec)
+        _manual_exchange(chunks, out_dir, spec)
 
     return seg.write_index_manifest(out_dir, spec, doc_manifest["num_docs"])
 
@@ -198,8 +204,10 @@ def _manual_exchange(chunks_mds, out_dir: str, spec: IndexSpec,
     if not blocks:
         return
     if num_writers is None:
+        # total CPUs, not available: right after the tokenize actor pool the
+        # available count is transiently ~0 and would serialize the exchange
         num_writers = max(1, min(
-            int(ray.available_resources().get("CPU", 8)), len(blocks)))
+            int(ray.cluster_resources().get("CPU", 8)), len(blocks)))
     nparts = spec.num_partitions
     grid = []
     for w in range(num_writers):
