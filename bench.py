@@ -24,9 +24,25 @@ import sys
 import time
 
 
+def _disable_thp() -> None:
+    """Best-effort `transparent_hugepage=never` (standard recommendation for
+    plasma/database workloads). On this VM khugepaged/kcompactd storms under
+    object-store churn cost up to 2x wall time AND destroy run-to-run
+    reproducibility (BASELINE.md r2 measurements: shuffle stage 38->20 s,
+    variance ±2x -> ±10% after disabling). Opt out: GRAFT_KEEP_THP=1."""
+    if os.environ.get("GRAFT_KEEP_THP"):
+        return
+    try:
+        with open("/sys/kernel/mm/transparent_hugepage/enabled", "w") as f:
+            f.write("never")
+    except OSError:
+        pass  # not privileged / not Linux — measurements just get noisier
+
+
 def _init_ray(num_cpus: int) -> None:
     import ray
 
+    _disable_thp()
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
@@ -83,7 +99,7 @@ def run_headline(sf_dir: str, num_cpus: int, workdir: str) -> dict:
         qset.append((w, "content", "or", "exhaustive"))
         qset.append((f"{w} {words[(i + 1) % len(words)]}", "content", "and", "exhaustive"))
         qset.append((f"{w} {words[(i + 2) % len(words)]} {words[(i + 5) % len(words)]}",
-                     "content", "or", "wand"))
+                     "content", "or", "auto"))
         qset.append((w[:4], "content3", "and", "exhaustive"))
     for text, field, mode, algo in qset:
         tq = time.monotonic()
@@ -209,7 +225,8 @@ def main() -> None:
         t0 = time.monotonic()
         build_index(corpus, workdir, spec,
                     tokenize_concurrency=(max(1, num_cpus // 2), num_cpus),
-                    tokenize_batch_size=512)
+                    tokenize_batch_size=512,
+                    shuffle=os.environ.get("RAY_GRAFT_SHUFFLE", "manual"))
         build_sec = time.monotonic() - t0
         s = Searcher(workdir)
         lat = []

@@ -91,8 +91,8 @@ def main(argv=None) -> None:
     q.add_argument("--field", default="content")
     q.add_argument("--mode", default="or", choices=["and", "or"])
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--algorithm", default="exhaustive",
-                   choices=["exhaustive", "wand"])
+    q.add_argument("--algorithm", default="auto",
+                   choices=["auto", "exhaustive", "wand"])
     q.add_argument("--fetch", action="store_true")
     q.set_defaults(fn=cmd_query)
 

@@ -15,7 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from poseidon_ray.functions.hashing import hash_terms
-from poseidon_ray.functions.tokenize import tokenize_simple
+from poseidon_ray.functions.tokenize import tokenize_simple, tokenize_simple_flat
 
 # ------------------------------------------------------------- counting
 
@@ -60,11 +60,14 @@ def quality_scores(values: pa.Array) -> dict[str, np.ndarray]:
     n = c["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
     n = np.where(n == 0, 1.0, n)
     toks = token_count(values).to_numpy(zero_copy_only=False)
-    terms, tfs, dl = tokenize_simple(values)
+    gt, gtf, gp, dl = tokenize_simple_flat(values)
     stop = np.zeros(len(values), dtype=np.float64)
-    for i, (ts, fs) in enumerate(zip(terms, tfs)):
-        if dl[i]:
-            stop[i] = sum(f for t, f in zip(ts, fs) if t in _STOPWORDS) / dl[i]
+    if len(gt):
+        mask = np.isin(gt, list(_STOPWORDS))
+        counts = np.bincount(gp[mask], weights=gtf[mask].astype(np.float64),
+                             minlength=len(values))
+        nz = dl > 0
+        stop[nz] = counts[nz] / dl[nz]
     return {
         "punct_ratio": c["n_punct"].to_numpy(zero_copy_only=False) / n,
         "digit_ratio": c["n_digits"].to_numpy(zero_copy_only=False) / n,
@@ -90,18 +93,24 @@ _LANG_MARKERS = {
 
 
 def detect_language(values: pa.Array) -> pa.Array:
-    """Marker-word vote per doc; 'und' when nothing matches."""
-    terms, tfs, _dl = tokenize_simple(values)
-    out = []
-    for ts, fs in zip(terms, tfs):
-        best, best_score = "und", 0
-        tset = dict(zip(ts, fs))
-        for lang, markers in _LANG_MARKERS.items():
-            score = sum(tset.get(m, 0) for m in markers)
-            if score > best_score:
-                best, best_score = lang, score
-        out.append(best)
-    return pa.array(out, type=pa.string())
+    """Marker-word vote per doc; 'und' when nothing matches. Whole-batch
+    vectorized: one isin + one bincount per language over the flat
+    (row, term, tf) arrays — no per-row Python."""
+    n = len(values)
+    gt, gtf, gp, _dl = tokenize_simple_flat(values)
+    langs = list(_LANG_MARKERS)
+    scores = np.zeros((n, len(langs)), dtype=np.int64)
+    if len(gt):
+        w = gtf.astype(np.float64)
+        for j, lang in enumerate(langs):
+            mask = np.isin(gt, list(_LANG_MARKERS[lang]))
+            if mask.any():
+                scores[:, j] = np.bincount(
+                    gp[mask], weights=w[mask], minlength=n).astype(np.int64)
+    best = np.argmax(scores, axis=1)     # first max wins = dict-order vote
+    names = np.array(langs + ["und"], dtype=object)
+    best = np.where(scores.max(axis=1) > 0, best, len(langs))
+    return pa.array(names[best], type=pa.string())
 
 
 # ------------------------------------------------------------- fingerprints
@@ -112,37 +121,69 @@ _FP_WINDOW = 8
 
 def rolling_fingerprint(values: pa.Array) -> pa.Array:
     """Winnowing-style document fingerprint: min of rolling byte-window
-    hashes (Schleimer et al. winnowing, simplified to a single min)."""
-    out = np.zeros(len(values), dtype=np.uint64)
-    vals = pc.fill_null(values, "").to_pylist()
-    for i, text in enumerate(vals):
-        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-        if len(b) < _FP_WINDOW:
-            out[i] = hash_terms([text])[0] if text else 0
-            continue
-        h = np.zeros(len(b) - _FP_WINDOW + 1, dtype=np.uint64)
-        acc = np.zeros_like(h)
+    hashes (Schleimer et al. winnowing, simplified to a single min).
+    Whole-batch vectorized: the polynomial rolling hash runs ONCE over the
+    batch's concatenated utf-8 buffer; per-row mins come from one
+    ``minimum.reduceat`` over each row's window range (windows spanning row
+    boundaries are excluded by construction of the ranges)."""
+    values = pc.fill_null(values, "")
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    n_rows = len(values)
+    out = np.zeros(n_rows, dtype=np.uint64)
+    if n_rows == 0:
+        return pa.array(out, type=pa.uint64())
+    data_buf = values.buffers()[2]
+    offsets = np.frombuffer(values.buffers()[1], dtype=np.int32)[
+        values.offset: values.offset + n_rows + 1].astype(np.int64)
+    row_lens = offsets[1:] - offsets[:-1]
+    short = row_lens < _FP_WINDOW
+    if short.any():
+        # short rows: hash the whole text (empty -> 0), tiny minority path
+        texts = np.asarray(values.to_pylist(), dtype=object)[short]
+        vals = np.array([hash_terms([t])[0] if t else 0 for t in texts],
+                        dtype=np.uint64)
+        out[np.flatnonzero(short)] = vals
+    if data_buf is not None and (~short).any():
+        data = np.frombuffer(data_buf, dtype=np.uint8)
+        nwin_all = len(data) - _FP_WINDOW + 1
+        acc = np.zeros(nwin_all, dtype=np.uint64)
         for j in range(_FP_WINDOW):
-            acc = acc * _FP_BASE + b[j:len(b) - _FP_WINDOW + 1 + j].astype(np.uint64)
-        h = acc
-        out[i] = h.min()
+            acc = acc * _FP_BASE + data[j:nwin_all + j].astype(np.uint64)
+        long_rows = np.flatnonzero(~short)
+        starts = offsets[:-1][long_rows]
+        ends = starts + (row_lens[long_rows] - _FP_WINDOW + 1)
+        # interleaved [s0,e0,s1,e1,...]: even reduceat slots = min over the
+        # row's own windows [s,e); odd slots (gaps) are discarded. One
+        # sentinel keeps idx==nwin_all legal for the buffer-final row.
+        idx = np.empty(2 * len(starts), dtype=np.int64)
+        idx[0::2] = starts
+        idx[1::2] = ends
+        guarded = np.concatenate([acc, [np.uint64(0)]])
+        red = np.minimum.reduceat(guarded, idx)
+        out[long_rows] = red[0::2]
     return pa.array(out, type=pa.uint64())
 
 
 def simhash64(values: pa.Array) -> pa.Array:
-    """64-bit SimHash (Charikar) over simple tokens weighted by tf."""
-    terms, tfs, _dl = tokenize_simple(values)
-    out = np.zeros(len(values), dtype=np.uint64)
-    bits = np.arange(64, dtype=np.uint64)
-    for i, (ts, fs) in enumerate(zip(terms, tfs)):
-        if not ts:
-            continue
-        hs = hash_terms(np.array(ts, dtype=object))
-        w = np.asarray(fs, dtype=np.int64)
-        bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
-        votes = (w[:, None] * (2 * bitmat - 1)).sum(axis=0)
-        out[i] = np.packbits((votes > 0)[::-1]).view(">u8")[0]
-    return pa.array(out, type=pa.uint64())
+    """64-bit SimHash (Charikar) over simple tokens weighted by tf.
+    Whole-batch vectorized: one hash pass over the flat token array, then
+    64 per-row bincount votes (no per-row Python)."""
+    n = len(values)
+    gt, gtf, gp, _dl = tokenize_simple_flat(values)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(gt) == 0:
+        return pa.array(out, type=pa.uint64())
+    hs = hash_terms(gt)
+    w = gtf.astype(np.float64)
+    row_w = np.bincount(gp, weights=w, minlength=n)   # Σ tf per row
+    sig = np.zeros(n, dtype=np.uint64)
+    for b in range(64):
+        bit = ((hs >> np.uint64(b)) & np.uint64(1)).astype(np.float64)
+        ones = np.bincount(gp, weights=w * bit, minlength=n)
+        # votes = ones - (row_w - ones) > 0  <=>  2*ones > row_w
+        sig |= (2.0 * ones > row_w).astype(np.uint64) << np.uint64(b)
+    return pa.array(sig, type=pa.uint64())
 
 
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:

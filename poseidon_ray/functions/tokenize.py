@@ -280,6 +280,31 @@ def tokenize_simple(values: pa.Array) -> tuple[list, list, np.ndarray]:
     return _aggregate_tf(flat.to_numpy(zero_copy_only=False), parents, len(values))
 
 
+def tokenize_simple_flat(values: pa.Array):
+    """Flat-form `simple` tokenization for whole-batch vectorized consumers
+    (langid / stopword / simhash): returns (terms, tfs, parents, doc_len)
+    as flat arrays grouped by (row, term) — no per-row Python lists."""
+    values = pc.fill_null(values, "")
+    n_rows = len(values)
+    split = pc.split_pattern_regex(pc.utf8_lower(values), "[^a-z0-9]+")
+    flat, parents = _flatten_with_parents(split)
+    nonempty = pc.not_equal(pc.utf8_length(flat), 0)
+    flat = flat.filter(nonempty)
+    parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+    tokens = flat.to_numpy(zero_copy_only=False)
+    if len(tokens) == 0:
+        return (np.empty(0, dtype=object), np.empty(0, dtype=np.uint32),
+                np.empty(0, dtype=np.int64), np.zeros(n_rows, dtype=np.uint32))
+    df = pd.DataFrame({"p": parents, "t": tokens})
+    grouped = df.groupby(["p", "t"], sort=True).size().reset_index(name="tf")
+    gp = grouped["p"].to_numpy().astype(np.int64)
+    gt = grouped["t"].to_numpy()
+    gtf = grouped["tf"].to_numpy().astype(np.uint32)
+    dl = np.bincount(gp, weights=gtf.astype(np.float64),
+                     minlength=n_rows).astype(np.uint32)
+    return gt, gtf, gp, dl
+
+
 TOKENIZERS = {
     "code": tokenize_code,
     "trigram": tokenize_trigram,

@@ -171,17 +171,26 @@ def _partition_blocks(nparts: int, *tables: pa.Table) -> list[pa.Table]:
     Hash partitioning only — NO sort: the segment reducer lexsorts its
     partition anyway, so the global sort a Dataset groupby would run here
     is pure overhead (this is the MR map-output spill, kept in the object
-    store; Ray spills it to disk under pressure exactly like MR does)."""
-    t = pa.concat_tables([x for x in tables if x.num_rows])
-    if t.num_rows == 0:
-        return [CHUNK_SCHEMA.empty_table()] * nparts
-    parts = t["part"].to_numpy(zero_copy_only=False)
-    order = np.argsort(parts, kind="stable")
-    sorted_parts = parts[order]
-    bounds = np.searchsorted(sorted_parts, np.arange(nparts + 1))
-    t = t.take(pa.array(order, type=pa.int64()))
-    return [t.slice(bounds[p], bounds[p + 1] - bounds[p]).combine_chunks()
-            for p in range(nparts)]
+    store; Ray spills it to disk under pressure exactly like MR does).
+
+    Chunk blocks arrive part-sorted (TokenizeAndCombine guarantees), so
+    per-block partitioning is zero-copy searchsorted slices; the only copy
+    is the final per-partition concat."""
+    outs: list[list[pa.Table]] = [[] for _ in range(nparts)]
+    for t in tables:
+        if t.num_rows == 0:
+            continue
+        parts = t["part"].to_numpy(zero_copy_only=False)
+        if len(parts) > 1 and (parts[1:] < parts[:-1]).any():
+            order = np.argsort(parts, kind="stable")  # defensive fallback
+            t = t.take(pa.array(order, type=pa.int64()))
+            parts = parts[order]
+        bounds = np.searchsorted(parts, np.arange(nparts + 1))
+        for p in range(nparts):
+            if bounds[p + 1] > bounds[p]:
+                outs[p].append(t.slice(bounds[p], bounds[p + 1] - bounds[p]))
+    return [pa.concat_tables(o).combine_chunks() if o
+            else CHUNK_SCHEMA.empty_table() for o in outs]
 
 
 @ray.remote
@@ -192,6 +201,25 @@ def _reduce_partition(out_dir: str, spec: IndexSpec, *tables: pa.Table):
     return seg.build_segment_partition(g, out_dir=out_dir, spec=spec)
 
 
+def _await_free_cpus(timeout: float = 15.0) -> None:
+    """Wait (bounded) until the cluster's CPUs are actually free. The
+    tokenize actor pool releases its reservations asynchronously after
+    ``materialize()``; launching the exchange before that leaves the raw
+    reduce tasks running ~2-wide on leftover slots (measured: 130 s instead
+    of 35 s at 960k rows). gc.collect() first: a dropped lazy Dataset only
+    shuts its executor down in ``__del__``."""
+    import gc
+    import time
+
+    gc.collect()
+    want = ray.cluster_resources().get("CPU", 1.0) - 0.5
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if ray.available_resources().get("CPU", 0.0) >= want:
+            return
+        time.sleep(0.2)
+
+
 def _manual_exchange(chunks_mds, out_dir: str, spec: IndexSpec,
                      num_writers: int | None = None) -> None:
     """Two-wave external-style shuffle (the MR exchange the reference's
@@ -200,6 +228,7 @@ def _manual_exchange(chunks_mds, out_dir: str, spec: IndexSpec,
     (num_returns=P refs, zero driver traffic), then one reduce task per
     partition concatenates its W inputs and writes segment + directory +
     manifest. Resume-skipped partitions simply launch no reduce task."""
+    _await_free_cpus()
     blocks, _counts = _block_refs_and_counts(chunks_mds)
     if not blocks:
         return

@@ -172,7 +172,7 @@ class DistributedSearcher(Searcher):
 
     def search(self, text: str, field: str = "content", mode: str = "or",
                k: int = 10, tokenizer: str | None = None,
-               algorithm: str = "exhaustive", offset: int = 0):
+               algorithm: str = "auto", offset: int = 0):
         tok = self._tokenizer_for(field, tokenizer)
         self._prefetch(field, self._tokenize_query(text, tok))
         return super().search(text, field=field, mode=mode, k=k,

@@ -479,6 +479,25 @@ ORACLE_SQL: dict[str, str] = {
         "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
         "WHERE 10 * i >= 9 * (sa.n + sb.n - i) ORDER BY doc_a, doc_b"
     ),
+    # marker-word language vote, tf-weighted, first-lang-wins ties (the
+    # exact argmax order of textstats._LANG_MARKERS), 'und' when no marker
+    "langid": (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), "
+        "'[^a-z0-9]+')) AS term FROM documents), "
+        "tk AS (SELECT doc_id, term FROM toks WHERE term <> ''), "
+        "sc AS (SELECT doc_id, "
+        "sum(CASE WHEN term IN ('the','and','of','to','is','in','that','it','for','was','a') THEN 1 ELSE 0 END) AS s_en, "
+        "sum(CASE WHEN term IN ('der','die','das','und','ist','nicht','ein','mit','von','zu') THEN 1 ELSE 0 END) AS s_de, "
+        "sum(CASE WHEN term IN ('le','la','les','et','est','une','dans','que','pour','des') THEN 1 ELSE 0 END) AS s_fr, "
+        "sum(CASE WHEN term IN ('el','la','los','las','es','una','en','que','por','con') THEN 1 ELSE 0 END) AS s_es "
+        "FROM tk GROUP BY doc_id) "
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+        "CASE WHEN sc.doc_id IS NULL OR greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und' "
+        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+        "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+        "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang "
+        "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY doc_id"
+    ),
     # exact all-pairs cosine >= 0.4, fixed-pointed at 1e-6
     "cosine_pairs": (
         "SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b, "
@@ -504,12 +523,12 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "minhash_truth": q_minhash_truth,
     "cosine_pairs": q_cosine_pairs,
+    "langid": q_langid,
     # rows-only (non-SQL-expressible: engine internals / sketches / ANN
     # approximations)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embed_neardup": q_embed_neardup,
-    "langid": q_langid,
     "fingerprint": q_fingerprint,
     "ivf_ann": q_ivf_ann,
 }

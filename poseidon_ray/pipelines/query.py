@@ -206,14 +206,24 @@ class Searcher:
         order = np.lexsort((doc_ids, -scores))[:k]
         return [(int(doc_ids[i]), float(scores[i])) for i in order]
 
+    # below this many total postings the vectorized exhaustive evaluator
+    # beats WAND's per-pivot Python overhead (~7 us/pivot vs ~50M
+    # postings/s vectorized); above it, block-max skipping wins. The
+    # cost-based switch is standard practice (Lucene WAND/MAXSCORE gates).
+    WAND_MIN_POSTINGS = 500_000
+
     def search(self, text: str, field: str = "content", mode: str = "or",
                k: int = 10, tokenizer: str | None = None,
-               algorithm: str = "exhaustive",
+               algorithm: str = "auto",
                offset: int = 0) -> list[tuple[int, float]]:
         """Top-k (score desc, doc_id asc). ``offset`` pages the ranked list
         — the slice [offset, offset+k), like the reference's page slice
         [page*size, (page+10)*size) (service/searcher/module/poseidon.go:
-        134-143): evaluate top-(offset+k), return the tail page."""
+        134-143): evaluate top-(offset+k), return the tail page.
+
+        ``algorithm``: "auto" (cost-based: exhaustive below
+        WAND_MIN_POSTINGS total postings, block-max WAND above — both are
+        rank-identical, tested), or force "exhaustive" / "wand"."""
         kk = k + offset
         tok = self._tokenizer_for(field, tokenizer)
         terms = self._tokenize_query(text, tok)
@@ -229,6 +239,9 @@ class Searcher:
                 ids, sc = self._term_score(field, t, cand)
                 total += sc  # ids == cand by construction
             return self._topk(cand, total, kk)[offset:]
+        if algorithm == "auto":
+            total_df = sum(self.term_stats(field, t)[0] for t in terms)
+            algorithm = "wand" if total_df > self.WAND_MIN_POSTINGS else "exhaustive"
         if algorithm == "wand":
             return self._search_wand(terms, field, kk)[offset:]
         # OR exhaustive: accumulate over the union

@@ -55,3 +55,84 @@ def mark_processed(state_path: str, paths: list[str]) -> None:
     with open(state_path + ".tmp", "w") as f:
         json.dump(state, f)
     os.replace(state_path + ".tmp", state_path)
+
+
+class ShardQueue:
+    """Work-list queue source — the RedisSrc/NsqSrc analog (SURVEY §2.1 S2:
+    ``redis_src_provider.go`` pops file paths from a Redis list). Batch
+    reformulation: a JSON-backed queue of input-shard paths with lease/ack
+    semantics, so a fleet of ingest drivers can share one work list:
+
+        q = ShardQueue(state_path)
+        q.push(paths)                      # enqueue (idempotent per path)
+        batch = q.claim(n, lease_sec=900)  # lease up to n pending shards
+        ... extend_index(...) ...
+        q.ack(batch)                       # done — never redelivered
+        # a crashed driver's lease expires and the shards are re-claimable
+
+    Single-file atomic state (tmp + rename), like every other checkpoint in
+    the engine. At real scale this state lives in any linearizable KV; the
+    interface is the contract.
+    """
+
+    def __init__(self, state_path: str):
+        self.state_path = state_path
+
+    def _load(self) -> dict[str, dict]:
+        if not os.path.exists(self.state_path):
+            return {}
+        with open(self.state_path) as f:
+            return json.load(f)
+
+    def _save(self, state: dict[str, dict]) -> None:
+        with open(self.state_path + ".tmp", "w") as f:
+            json.dump(state, f)
+        os.replace(self.state_path + ".tmp", self.state_path)
+
+    def push(self, paths: list[str]) -> int:
+        """Enqueue paths not already known (done paths stay done)."""
+        state = self._load()
+        added = 0
+        for p in paths:
+            if p not in state:
+                state[p] = {"status": "pending", "lease_until": 0.0,
+                            "attempts": 0}
+                added += 1
+        self._save(state)
+        return added
+
+    def claim(self, n: int, lease_sec: float = 900.0,
+              now: float | None = None) -> list[str]:
+        """Lease up to n shards: pending ones plus any whose lease expired
+        (crashed consumer). Deterministic order (sorted path)."""
+        import time as _time
+
+        now = _time.time() if now is None else now
+        state = self._load()
+        out = []
+        for p in sorted(state):
+            if len(out) >= n:
+                break
+            e = state[p]
+            if e["status"] == "pending" or (
+                    e["status"] == "leased" and e["lease_until"] < now):
+                e["status"] = "leased"
+                e["lease_until"] = now + lease_sec
+                e["attempts"] += 1
+                out.append(p)
+        self._save(state)
+        return out
+
+    def ack(self, paths: list[str]) -> None:
+        state = self._load()
+        for p in paths:
+            if p in state:
+                state[p] = {"status": "done", "lease_until": 0.0,
+                            "attempts": state[p]["attempts"]}
+        self._save(state)
+
+    def stats(self) -> dict[str, int]:
+        out = {"pending": 0, "leased": 0, "done": 0}
+        for e in self._load().values():
+            out[e["status"]] = out.get(e["status"], 0) + 1
+        return out

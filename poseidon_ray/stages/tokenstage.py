@@ -102,18 +102,21 @@ def make_chunks(
     off_dl = np.concatenate([[0], np.cumsum(codec.varint_lengths(dl_sorted))])
 
     n_groups = len(starts)
+    # emit groups sorted by part: the manual exchange then partitions each
+    # block with zero-copy searchsorted slices (no argsort + take pass)
+    gorder = np.argsort(parts, kind="stable")
     doc_col, tf_col, dl_col = [], [], []
-    for i in range(n_groups):
+    for i in gorder:
         s, e = starts[i], ends[i]
         doc_col.append(doc_all[off_doc[s]:off_doc[e]])
         tf_col.append(tf_all[off_tf[s]:off_tf[e]])
         dl_col.append(dl_all[off_dl[s]:off_dl[e]])
     return pa.table(
         {
-            "part": pa.array(parts),
-            "term": pa.array(group_terms, type=pa.string()),
+            "part": pa.array(parts[gorder]),
+            "term": pa.array(group_terms[gorder], type=pa.string()),
             "field": pa.array(np.full(n_groups, field, dtype=object), type=pa.string()),
-            "n": pa.array((ends - starts).astype(np.uint32)),
+            "n": pa.array((ends - starts)[gorder].astype(np.uint32)),
             "doc_bytes": pa.array(doc_col, type=pa.large_binary()),
             "tf_bytes": pa.array(tf_col, type=pa.large_binary()),
             "dl_bytes": pa.array(dl_col, type=pa.large_binary()),
@@ -153,4 +156,10 @@ class TokenizeAndCombine:
                 out.append(tbl)
         if not out:
             return CHUNK_SCHEMA.empty_table()
-        return pa.concat_tables(out)
+        if len(out) == 1:
+            return out[0]
+        # keep the whole output block sorted by part (each field table is;
+        # the concat interleaves) — the exchange slices blocks zero-copy
+        t = pa.concat_tables(out)
+        parts = t["part"].to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.argsort(parts, kind="stable")))

@@ -84,3 +84,31 @@ def test_search_dataset_actor_pool(ray_session, tiny_corpus_path, tmp_path):
         want = local.search(text, field=field, mode=mode, k=5)
         assert list(zip(mine.doc_id, mine.score)) == want, name
     assert (out.name == "none").sum() == 0
+
+
+class TestShardQueue:
+    def test_push_claim_ack_cycle(self, tmp_path):
+        from poseidon_ray.sources.discovery import ShardQueue
+
+        q = ShardQueue(str(tmp_path / "q.json"))
+        assert q.push(["a", "b", "c"]) == 3
+        assert q.push(["b", "d"]) == 1          # idempotent
+        got = q.claim(2, lease_sec=100, now=1000.0)
+        assert got == ["a", "b"]                # deterministic order
+        assert q.claim(10, lease_sec=100, now=1001.0) == ["c", "d"]
+        q.ack(["a", "b", "c", "d"])
+        assert q.stats() == {"pending": 0, "leased": 0, "done": 4}
+        assert q.claim(10, now=2000.0) == []    # done is done
+
+    def test_expired_lease_redelivered(self, tmp_path):
+        from poseidon_ray.sources.discovery import ShardQueue
+
+        q = ShardQueue(str(tmp_path / "q.json"))
+        q.push(["x", "y"])
+        assert q.claim(2, lease_sec=50, now=1000.0) == ["x", "y"]
+        # crash: no ack. before expiry nothing is claimable
+        assert q.claim(2, lease_sec=50, now=1010.0) == []
+        # after expiry both redeliver, attempts increment
+        assert q.claim(2, lease_sec=50, now=1100.0) == ["x", "y"]
+        q.ack(["x"])
+        assert q.stats()["done"] == 1
