@@ -280,6 +280,40 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     })
 
 
+def q_bm25_page2(sf_dir: str) -> pa.Table:
+    """Second page of the BM25 ranking via search(offset=10) — the O4
+    pagination path under the DuckDB oracle (LIMIT 10 OFFSET 10 twin)."""
+    idx = oracle_index_dir(sf_dir)
+    s = Searcher(idx)
+    hits = s.search(BM25_QUERY, field="text", mode="or", k=10, offset=10,
+                    tokenizer="simple", algorithm="wand")
+    mapping = _docid_map(idx)
+    scores = np.array([sc for _, sc in hits], dtype=np.float64)
+    return pa.table({
+        "rank": pa.array(range(10, 10 + len(hits)), type=pa.int64()),
+        "doc_id": pa.array([int(mapping[d]) for d, _ in hits], type=pa.int64()),
+        "score_r6": pa.array(np.round(scores * 1e6).astype(np.int64)),
+    })
+
+
+def q_count_modes(sf_dir: str) -> pa.Table:
+    """pv_only counts (O5: Searcher.count — single-term df fast path, AND
+    intersection, OR union) as one oracled row set."""
+    idx = oracle_index_dir(sf_dir)
+    s = Searcher(idx)
+    rows = [
+        ("single", s.count(AND_TERMS[0], field="text", tokenizer="simple")),
+        ("and", s.count(" ".join(AND_TERMS), field="text", mode="and",
+                        tokenizer="simple")),
+        ("or", s.count(" ".join(AND_TERMS), field="text", mode="or",
+                       tokenizer="simple")),
+    ]
+    return pa.table({
+        "mode": pa.array([m for m, _ in rows], type=pa.string()),
+        "n": pa.array([n for _, n in rows], type=pa.int64()),
+    })
+
+
 def q_minhash_truth(sf_dir: str) -> pa.Table:
     """Near-dup TRUTH set at set-Jaccard >= 0.9 via the full distributed
     path: MinHash(128) over token sets -> 32-band LSH candidates (exhaustive
@@ -466,6 +500,41 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(round(score * 1000000) AS BIGINT) AS score_r6 "
         "FROM sc ORDER BY rank LIMIT 20"
     ),
+    # pagination: ranks 10..19 of the same BM25 ranking
+    "bm25_page2": (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), "
+        "'[^a-z0-9]+')) AS term FROM documents), "
+        "tk AS (SELECT doc_id, term FROM toks WHERE term <> ''), "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        "(SELECT count(*) FROM tk)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl), "
+        "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tk "
+        f"WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tk GROUP BY doc_id), "
+        "df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tk "
+        f"WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY term), "
+        "sc AS (SELECT tf.doc_id, sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) "
+        "* (1.2 + 1.0) * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score "
+        "FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id "
+        "CROSS JOIN stats GROUP BY tf.doc_id) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank, "
+        "CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(round(score * 1000000) AS BIGINT) AS score_r6 "
+        "FROM sc ORDER BY rank LIMIT 10 OFFSET 10"
+    ),
+    # pv_only counts: single-term df, AND intersection, OR union
+    "count_modes": (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), "
+        "'[^a-z0-9]+')) AS term FROM documents), "
+        "tk AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> '') "
+        f"SELECT 'single' AS mode, CAST(count(*) AS BIGINT) AS n FROM tk WHERE term = '{AND_TERMS[0]}' "
+        "UNION ALL "
+        f"SELECT 'and', CAST(count(*) AS BIGINT) FROM (SELECT doc_id FROM tk "
+        f"WHERE term IN ('{AND_TERMS[0]}', '{AND_TERMS[1]}') GROUP BY doc_id "
+        "HAVING count(DISTINCT term) = 2) "
+        "UNION ALL "
+        f"SELECT 'or', CAST(count(DISTINCT doc_id) AS BIGINT) FROM tk "
+        f"WHERE term IN ('{AND_TERMS[0]}', '{AND_TERMS[1]}')"
+    ),
     # exact set-Jaccard >= 0.9 ground truth (integer threshold, float-free)
     "minhash_truth": (
         "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), "
@@ -521,6 +590,8 @@ QUERIES = {
     "events_pv": q_events_pv,
     "ann_topk": q_ann_topk,
     "bm25_topk": q_bm25_topk,
+    "bm25_page2": q_bm25_page2,
+    "count_modes": q_count_modes,
     "minhash_truth": q_minhash_truth,
     "cosine_pairs": q_cosine_pairs,
     "langid": q_langid,

@@ -6,11 +6,15 @@ service/searcher/module/poseidon.go:171-216) becomes:
 
 - ``Searcher``        — in-process engine: pinned term directory (the ST5
                         meta-cache analog), lazy row-group reads of segment
-                        rows, LRU posting cache, three evaluation modes:
+                        rows, LRU posting cache, evaluation modes:
                         AND (sorted intersection, J5), OR-exhaustive
                         (vectorized accumulation) and OR block-max WAND
-                        (Broder et al.; Ding & Suel) — WAND is exact:
-                        identical top-k + scores to exhaustive.
+                        evaluated block-at-a-time (Ding & Suel bounds,
+                        vectorized segment scoring — Python cost per block,
+                        not per doc). WAND is exact: identical top-k +
+                        float64 scores to exhaustive. The default
+                        ``algorithm="auto"`` switches evaluators on total
+                        posting count (the Lucene-style cost gate).
 - ``search_dataset``  — a batch of queries as a Dataset mapped over a
                         Searcher actor pool (one actor per CPU slice; each
                         actor pins the directory once in __init__) — the
@@ -27,7 +31,6 @@ layout already supports it.
 
 from __future__ import annotations
 
-import heapq
 from collections import OrderedDict
 
 import numpy as np
@@ -265,15 +268,20 @@ class Searcher:
     # -------------------------------------------------- block-max WAND
 
     def _search_wand(self, terms: list[str], field: str, k: int):
-        """Block-max WAND (Broder et al. 2003 pivoting; Ding & Suel 2011
-        per-block bounds), EXACT under the (score desc, doc_id asc)
-        tiebreak: a candidate range is skipped only when its upper bound is
-        STRICTLY below the current k-th score, so potential score-ties are
-        always evaluated.
+        """Block-max WAND, evaluated BLOCK-AT-A-TIME (Ding & Suel 2011
+        bounds; the doc-at-a-time pivot loop of classic WAND replaced by
+        segment evaluation): document space advances in segments ending at
+        the nearest current block boundary; a segment is skipped when the
+        sum of the covering blocks' upper bounds is STRICTLY below the
+        current k-th score (ties always evaluated), else ALL its postings
+        are scored vectorized. Python overhead is per BLOCK (~128 postings),
+        not per document — the property that keeps WAND viable on
+        10^9-posting lists — and pruning power is identical to block-max
+        WAND's block-level bound.
 
-        Scores are accumulated per query term in sorted-term order at
-        evaluation time, keeping float64 results bit-identical to the
-        exhaustive evaluator and the brute-force oracle.
+        EXACT under the (score desc, doc_id asc) tiebreak, and
+        float-identical to the exhaustive evaluator: segment scores
+        accumulate per query term in sorted-term order.
         """
         avgdl = self.avgdl(field)
         bs = self._block_size
@@ -288,84 +296,56 @@ class Searcher:
             nblocks = (len(ids) + bs - 1) // bs
             blk_last = ids[np.minimum(np.arange(1, nblocks + 1) * bs, len(ids)) - 1]
             blk_ub = np.maximum.reduceat(sc, np.arange(0, len(ids), bs))
-            cursors.append({
-                "ids": ids, "sc": sc, "pos": 0,
-                "blk_last": blk_last, "blk_ub": blk_ub,
-                "max_ub": float(sc.max()),
-            })
+            cursors.append({"ids": ids, "sc": sc, "pos": 0, "n": len(ids),
+                            "blk_last": blk_last, "blk_ub": blk_ub})
         if not cursors:
             return []
-        heap: list[tuple[float, int]] = []  # (score, -doc_id), min-root = k-th
-
-        def theta() -> float:
-            return heap[0][0] if len(heap) >= k else -np.inf
-
-        def cur_doc(c) -> int:
-            return int(c["ids"][c["pos"]])
-
-        def advance(c, target: int) -> None:
-            p = c["pos"]
-            c["pos"] = p + int(np.searchsorted(c["ids"][p:], target))
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        theta = -np.inf
 
         while True:
-            live = [c for c in cursors if c["pos"] < len(c["ids"])]
+            live = [c for c in cursors if c["pos"] < c["n"]]
             if not live:
                 break
-            live.sort(key=cur_doc)
-            # WAND pivot: first cursor where the running max-UB sum could
-            # still reach theta (>= keeps tie candidates alive)
-            ub_sum, pivot_idx = 0.0, None
-            for i, c in enumerate(live):
-                ub_sum += c["max_ub"]
-                if ub_sum >= theta():
-                    pivot_idx = i
-                    break
-            if pivot_idx is None:
-                break
-            pivot = cur_doc(live[pivot_idx])
-            if cur_doc(live[0]) == pivot:
-                # every cursor positioned at <= pivot (cursors past pivot_idx
-                # may sit exactly at pivot; excluding them would stall)
-                n_cover = pivot_idx + 1
-                while n_cover < len(live) and cur_doc(live[n_cover]) <= pivot:
-                    n_cover += 1
-                covering = live[:n_cover]
-                # block-max refinement: bound using the blocks containing
-                # the pivot, not the whole lists
-                blk_sum = 0.0
-                blk_bound = None
+            # segment = [cur, bound]: bound is the nearest block end among
+            # live cursors whose next doc starts the segment's coverage
+            bound = None
+            for c in live:
+                last = int(c["blk_last"][c["pos"] // bs])
+                bound = last if bound is None else min(bound, last)
+            # covering terms: current block overlaps [.., bound]
+            covering = [c for c in live if int(c["ids"][c["pos"]]) <= bound]
+            if not covering:
+                continue  # unreachable: bound derives from live blocks
+            ub_sum = sum(float(c["blk_ub"][c["pos"] // bs]) for c in covering)
+            if ub_sum < theta:
+                # no doc <= bound can reach the top-k: skip whole blocks
                 for c in covering:
-                    p = c["pos"] + int(np.searchsorted(c["ids"][c["pos"]:], pivot))
-                    blk = p // bs
-                    blk_sum += float(c["blk_ub"][blk])
-                    last = int(c["blk_last"][blk])
-                    blk_bound = last if blk_bound is None else min(blk_bound, last)
-                if blk_sum >= theta():
-                    # full evaluation of pivot, in global (sorted-term) order
-                    s = 0.0
-                    for c in cursors:
-                        if c["pos"] < len(c["ids"]):
-                            advance(c, pivot)
-                            if c["pos"] < len(c["ids"]) and c["ids"][c["pos"]] == pivot:
-                                s += float(c["sc"][c["pos"]])
-                                c["pos"] += 1
-                    entry = (s, -pivot)
-                    if len(heap) < k:
-                        heapq.heappush(heap, entry)
-                    elif entry > heap[0]:
-                        heapq.heapreplace(heap, entry)
-                else:
-                    # no doc in [pivot, blk_bound] can reach theta: jump past
-                    nxt = blk_bound + 1
-                    if n_cover < len(live):
-                        nxt = min(nxt, cur_doc(live[n_cover]))
-                    for c in covering:
-                        advance(c, nxt)
-            else:
-                for c in live[:pivot_idx]:
-                    advance(c, pivot)
-        out = sorted(heap, key=lambda e: (-e[0], -e[1]))
-        return [(-d, s) for s, d in out]
+                    p = c["pos"]
+                    c["pos"] = p + int(np.searchsorted(c["ids"][p:], bound + 1))
+                continue
+            # evaluate the segment vectorized, sorted-term order
+            seg_ids, seg_sc = [], []
+            for c in covering:
+                p = c["pos"]
+                e = p + int(np.searchsorted(c["ids"][p:], bound + 1))
+                seg_ids.append(c["ids"][p:e])
+                seg_sc.append(c["sc"][p:e])
+                c["pos"] = e
+            union = np.unique(np.concatenate(seg_ids))
+            total = np.zeros(len(union), dtype=np.float64)
+            for ids_s, sc_s in zip(seg_ids, seg_sc):
+                if len(ids_s):
+                    total[np.searchsorted(union, ids_s)] += sc_s
+            # merge into running top-k ((score desc, doc asc) tiebreak)
+            cand_docs = np.concatenate([top_docs, union.astype(np.int64)])
+            cand_scores = np.concatenate([top_scores, total])
+            order = np.lexsort((cand_docs, -cand_scores))[:k]
+            top_docs, top_scores = cand_docs[order], cand_scores[order]
+            if len(top_docs) >= k:
+                theta = float(top_scores[-1])
+        return [(int(d), float(s)) for d, s in zip(top_docs, top_scores)]
 
     # -------------------------------------------------- pv-only mode (O5)
 
