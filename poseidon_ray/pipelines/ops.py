@@ -250,6 +250,35 @@ def q_events_pv(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def q_events_window(sf_dir: str) -> pa.Table:
+    """Tumbling daily windows per event_type (streaming-window batch
+    analog; combiner-style partials before the shuffle). value_sum is
+    fixed-pointed at 0.01."""
+    from poseidon_ray.stages.events import windowed_aggregate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type", "value"])
+    out = _collect(windowed_aggregate(ds, window_hours=24))
+    v = out["value_sum"].to_numpy(zero_copy_only=False)
+    out = pa.table({
+        "window_us": pc.cast(out["window_us"], pa.int64()),
+        "event_type": out["event_type"],
+        "n_events": out["n_events"],
+        "value_r2": pa.array(np.round(v * 100).astype(np.int64)),
+    })
+    return out.sort_by([("window_us", "ascending"), ("event_type", "ascending")])
+
+
+def q_sessions(sf_dir: str) -> pa.Table:
+    """Per-user sessionization (30-minute inactivity gap)."""
+    from poseidon_ray.stages.events import sessionize
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "user_id"])
+    out = _collect(sessionize(ds, gap_minutes=30))
+    return out.sort_by("user_id")
+
+
 def q_ann_topk(sf_dir: str) -> pa.Table:
     """Brute-force cosine top-k; query vectors = first N_ANN_QUERIES rows."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -500,6 +529,23 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(round(score * 1000000) AS BIGINT) AS score_r6 "
         "FROM sc ORDER BY rank LIMIT 20"
     ),
+    # tumbling daily windows; value fixed-pointed at 0.01
+    "events_window": (
+        "SELECT CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 AS BIGINT) AS window_us, "
+        "event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(round(sum(value) * 100) AS BIGINT) AS value_r2 "
+        "FROM events GROUP BY 1, 2 ORDER BY window_us, event_type"
+    ),
+    # 30-minute-gap sessionization per user
+    "sessions": (
+        "WITH o AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM events), "
+        "m AS (SELECT user_id, ts, CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END AS ns FROM o), "
+        "s AS (SELECT user_id, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m), "
+        "per AS (SELECT user_id, sid, count(*) AS c FROM s GROUP BY user_id, sid) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sum(c) AS BIGINT) AS n_events, "
+        "CAST(count(*) AS BIGINT) AS n_sessions, CAST(max(c) AS BIGINT) AS max_session_events "
+        "FROM per GROUP BY user_id ORDER BY user_id"
+    ),
     # pagination: ranks 10..19 of the same BM25 ranking
     "bm25_page2": (
         "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), "
@@ -588,6 +634,8 @@ QUERIES = {
     "lang_dist": q_lang_dist,
     "quality_stats": q_quality_stats,
     "events_pv": q_events_pv,
+    "events_window": q_events_window,
+    "sessions": q_sessions,
     "ann_topk": q_ann_topk,
     "bm25_topk": q_bm25_topk,
     "bm25_page2": q_bm25_page2,

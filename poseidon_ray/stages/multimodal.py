@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool map_batches stages.
 
-The decode kernels themselves are STUBBED (no PIL/ffmpeg in this
-container): ``fake=True`` (default) runs a deterministic stand-in decode so
-the Ray-side plumbing — schema, batch sizing, actor lifecycle, output
-layout — is real and tested; ``fake=False`` raises NotImplementedError at
-the exact point a real decoder (PIL.Image.open / soundfile.read) would be
-called.
+Decode support is split honestly by what this container can do:
+
+- REAL decoders (pure numpy / stdlib — no external libs needed):
+  * PPM ``P6`` / PGM ``P5`` images -> (h, w, c) uint8 pixel tensors
+  * RIFF/WAVE PCM-16 audio -> sample tensor (folded to uint8 feature range)
+- STUBBED: compressed formats (PNG/JPEG/MP3/MP4) raise NotImplementedError
+  at the exact point PIL/ffmpeg would be called (``fake=False``), or run a
+  deterministic stand-in (``fake=True``) so the Ray-side plumbing — schema,
+  batch sizing, actor lifecycle, output layout — is exercised regardless.
 
 Batch sizes here are intentionally SMALL: a 4 MB payload x 256-row batch x
 8 actors is 8 GB of heap — the memory-aware sizing rule from the top-level
@@ -16,6 +19,7 @@ design notes.
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pyarrow as pa
@@ -28,58 +32,147 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+# ------------------------------------------------------------ real decoders
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """P6 (RGB) / P5 (gray) binary PNM -> uint8 array (h, w, c). Pure
+    numpy; supports whitespace + '#' comments per the spec; maxval <= 255."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PNM payload")
+    channels = 3 if payload[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    n = w * h * channels
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape(h, w, channels)
+
+
+def decode_wav_pcm16(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM-16 -> int16 samples (n, channels). Stdlib `wave`."""
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as f:
+        if f.getsampwidth() != 2:
+            raise ValueError("only PCM-16 supported")
+        frames = f.readframes(f.getnframes())
+        return np.frombuffer(frames, dtype="<i2").reshape(-1, f.getnchannels())
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int]:
     h = hashlib.sha256(payload).digest()
     return 16 + h[0] % 240, 16 + h[1] % 240
 
 
 class DecodeMedia:
-    """binary payload -> decoded tensor metadata (+ fake pixel stats)."""
+    """binary payload -> (dims, channels, mean, pixel/sample tensor).
+
+    ``fake=False``: REAL decode for PNM images and PCM WAV audio; raises
+    NotImplementedError for compressed formats (no PIL/ffmpeg here).
+    ``fake=True`` (default): deterministic stand-in for every payload."""
 
     def __init__(self, fake: bool = True):
         self.fake = fake
 
+    def _decode_one(self, payload: bytes) -> tuple[int, int, int, float, bytes]:
+        if payload[:2] in (b"P6", b"P5"):
+            px = decode_pnm(payload)
+            h, w, c = px.shape
+            return w, h, c, float(px.mean()), px.tobytes()
+        if payload[:4] == b"RIFF":
+            samples = decode_wav_pcm16(payload)
+            n, c = samples.shape
+            # fold to the uint8 feature range shared with images
+            folded = ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8)
+            return n, 1, c, float(samples.mean()), folded.tobytes()
+        raise NotImplementedError(
+            "compressed media (PNG/JPEG/MP3/MP4) needs PIL/ffmpeg — not in "
+            "this container; PNM images and PCM WAV decode for real, or run "
+            "with fake=True for the deterministic stand-in")
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "real decode needs PIL/soundfile (not in this container); "
-                "run with fake=True for the deterministic stand-in")
-        widths, heights, means = [], [], []
+        widths, heights, chans, means, tensors = [], [], [], [], []
         for payload in t["payload"].to_pylist():
-            w, h = _fake_dims(payload)
-            widths.append(w)
-            heights.append(h)
-            arr = np.frombuffer(payload, dtype=np.uint8)
-            means.append(float(arr.mean()) if len(arr) else 0.0)
+            if self.fake:
+                w, h = _fake_dims(payload)
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                widths.append(w)
+                heights.append(h)
+                chans.append(1)
+                means.append(float(arr.mean()) if len(arr) else 0.0)
+                tensors.append(payload)
+            else:
+                w, h, c, m, tensor = self._decode_one(payload)
+                widths.append(w)
+                heights.append(h)
+                chans.append(c)
+                means.append(m)
+                tensors.append(tensor)
         return pa.table({
             "media_id": t["media_id"],
             "media_type": t["media_type"],
             "width": pa.array(widths, type=pa.int32()),
             "height": pa.array(heights, type=pa.int32()),
+            "channels": pa.array(chans, type=pa.int32()),
             "mean_value": pa.array(means, type=pa.float64()),
-            "payload": t["payload"],
+            "tensor": pa.array(tensors, type=pa.large_binary()),
         })
 
 
 class ResizeMedia:
-    """decoded -> resized dims (stub: clamps to target box, keeps ratio)."""
+    """Images: REAL nearest-neighbor resize of the pixel tensor to fit the
+    target box (ratio kept). Audio/opaque tensors: dims clamped only."""
 
     def __init__(self, target: int = 224):
         self.target = target
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        w = t["width"].to_numpy(zero_copy_only=False).astype(np.float64)
-        h = t["height"].to_numpy(zero_copy_only=False).astype(np.float64)
-        scale = np.minimum(1.0, self.target / np.maximum(w, h))
-        return (t.drop_columns(["width", "height"])
-                 .append_column("width", pa.array((w * scale).astype(np.int32)))
-                 .append_column("height", pa.array((h * scale).astype(np.int32))))
+        w = t["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["channels"].to_numpy(zero_copy_only=False).astype(np.int64)
+        types = t["media_type"].to_pylist()
+        out_w, out_h, out_tensor = [], [], []
+        for i, payload in enumerate(t["tensor"].to_pylist()):
+            scale = min(1.0, self.target / max(w[i], h[i], 1))
+            nw, nh = max(1, int(w[i] * scale)), max(1, int(h[i] * scale))
+            if (types[i] == "image" and len(payload) == w[i] * h[i] * c[i]
+                    and (nw, nh) != (w[i], h[i])):
+                px = np.frombuffer(payload, dtype=np.uint8).reshape(
+                    h[i], w[i], c[i])
+                yi = (np.arange(nh) * h[i] // nh)
+                xi = (np.arange(nw) * w[i] // nw)
+                payload = px[yi][:, xi].tobytes()
+            out_w.append(nw)
+            out_h.append(nh)
+            out_tensor.append(payload)
+        return pa.table({
+            "media_id": t["media_id"],
+            "media_type": t["media_type"],
+            "width": pa.array(out_w, type=pa.int32()),
+            "height": pa.array(out_h, type=pa.int32()),
+            "channels": t["channels"],
+            "mean_value": t["mean_value"],
+            "tensor": pa.array(out_tensor, type=pa.large_binary()),
+        })
 
 
 class ExtractFeatures:
-    """payload -> fixed-dim feature vector (stub: byte histogram, a
-    deterministic stand-in for a model forward pass; a real model would be
-    loaded HERE in __init__, once per actor)."""
+    """tensor -> fixed-dim normalized histogram (a deterministic stand-in
+    for a model forward pass; a real model would be loaded HERE in
+    __init__, once per actor)."""
 
     def __init__(self, dim: int = 32, fake: bool = True):
         self.dim = dim
@@ -89,7 +182,8 @@ class ExtractFeatures:
         if not self.fake:
             raise NotImplementedError("real feature extraction needs a model")
         feats = []
-        for payload in t["payload"].to_pylist():
+        col = "tensor" if "tensor" in t.column_names else "payload"
+        for payload in t[col].to_pylist():
             arr = np.frombuffer(payload, dtype=np.uint8)
             hist, _ = np.histogram(arr, bins=self.dim, range=(0, 256))
             total = hist.sum() or 1
@@ -102,9 +196,10 @@ class ExtractFeatures:
 
 
 def media_pipeline(ds, *, target: int = 224, feature_dim: int = 32,
-                   concurrency=(1, 4), batch_size: int = 32):
+                   concurrency=(1, 4), batch_size: int = 32,
+                   fake: bool = True):
     """decode -> resize -> features, all actor pools, small batches."""
-    decoded = ds.map_batches(DecodeMedia, fn_constructor_kwargs={"fake": True},
+    decoded = ds.map_batches(DecodeMedia, fn_constructor_kwargs={"fake": fake},
                              batch_format="pyarrow", batch_size=batch_size,
                              concurrency=concurrency)
     resized = decoded.map_batches(ResizeMedia,
@@ -117,12 +212,33 @@ def media_pipeline(ds, *, target: int = 224, feature_dim: int = 32,
                                concurrency=concurrency)
 
 
-def synthesize_media(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake payloads for tests/benchmarks."""
+def synthesize_media(n: int, seed: int = 42, real_formats: bool = False) -> pa.Table:
+    """Deterministic payloads for tests/benchmarks. ``real_formats=True``
+    emits REAL P6 images and PCM-16 WAV files (decodable by the fake=False
+    path); video rows stay opaque random bytes (stub format)."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 4096)),
-                             dtype=np.uint8).tobytes() for _ in range(n)]
-    types = [["image", "audio", "video"][i % 3] for i in range(n)]
+    payloads, types = [], []
+    for i in range(n):
+        mtype = ["image", "audio", "video"][i % 3]
+        types.append(mtype)
+        if real_formats and mtype == "image":
+            w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(b"P6\n# synth\n%d %d\n255\n" % (w, h) + px.tobytes())
+        elif real_formats and mtype == "audio":
+            import wave
+
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(8000)
+                f.writeframes(rng.integers(-32768, 32767, size=int(
+                    rng.integers(100, 2000)), dtype=np.int16).tobytes())
+            payloads.append(buf.getvalue())
+        else:
+            payloads.append(rng.integers(0, 256, size=int(
+                rng.integers(64, 4096)), dtype=np.uint8).tobytes())
     return pa.table({
         "media_id": pa.array(range(n), type=pa.int64()),
         "media_type": pa.array(types, type=pa.string()),

@@ -232,3 +232,55 @@ def test_cjk_comment_searchable(ray_session, tmp_path_factory):
     # substring of the run only exists via the trigram field
     sub_hits = s.search("用户", field="content3", mode="and", k=5)
     assert [d for d, _ in sub_hits] == [7]
+
+
+# ------------------------------------------------- real multimodal decode
+
+class TestRealMediaDecode:
+    def test_pnm_roundtrip(self):
+        from poseidon_ray.stages.multimodal import decode_pnm
+
+        px = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+        payload = b"P6\n# comment\n7 5\n255\n" + px.tobytes()
+        out = decode_pnm(payload)
+        np.testing.assert_array_equal(out, px)
+
+    def test_wav_roundtrip(self):
+        import io
+        import wave
+
+        from poseidon_ray.stages.multimodal import decode_wav_pcm16
+
+        samples = np.array([0, 100, -100, 32767, -32768], dtype=np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(8000)
+            f.writeframes(samples.tobytes())
+        out = decode_wav_pcm16(buf.getvalue())
+        np.testing.assert_array_equal(out.ravel(), samples)
+
+    def test_real_pipeline_end_to_end(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages.multimodal import (DecodeMedia,
+                                                    media_pipeline,
+                                                    synthesize_media)
+
+        media = synthesize_media(18, real_formats=True)
+        imgaud = media.filter(
+            pa.compute.field("media_type") != "video")
+        out = media_pipeline(ray.data.from_arrow(imgaud), target=16,
+                             feature_dim=8, concurrency=(1, 2), batch_size=6,
+                             fake=False).to_pandas()
+        assert len(out) == imgaud.num_rows
+        assert all(len(e) == 8 for e in out.embedding)
+        assert all(abs(sum(e) - 1.0) < 1e-5 for e in out.embedding)
+        # real decode verifies dims: a 16-target resize bounds image dims
+        dec = DecodeMedia(fake=False)(imgaud)
+        assert (dec["width"].to_numpy(zero_copy_only=False) > 0).all()
+        # compressed/opaque formats still refuse loudly
+        video_only = media.filter(pa.compute.field("media_type") == "video")
+        with pytest.raises(NotImplementedError):
+            DecodeMedia(fake=False)(video_only)
