@@ -27,7 +27,6 @@ import base64
 import binascii
 import re
 import urllib.parse
-from collections import Counter
 
 import numpy as np
 import pyarrow as pa
@@ -147,43 +146,70 @@ def parse_chain(spec: str):
     return steps
 
 
+def _aggregate_weighted(terms: list, tfs: list, parents: np.ndarray, n_rows: int):
+    """(row, term) -> Σtf, split back into per-row sorted lists (the
+    weighted cousin of tokenize._aggregate_tf)."""
+    import pandas as pd
+
+    if not terms:
+        empty = [[] for _ in range(n_rows)]
+        return empty, [[] for _ in range(n_rows)], np.zeros(n_rows, np.uint32)
+    df = pd.DataFrame({"p": parents, "t": terms, "f": tfs})
+    g = df.groupby(["p", "t"], sort=True)["f"].sum().reset_index()
+    gp = g["p"].to_numpy()
+    gt = g["t"].to_numpy()
+    gf = g["f"].to_numpy().astype(np.int64)
+    bounds = np.searchsorted(gp, np.arange(n_rows + 1))
+    terms_out = [gt[bounds[i]:bounds[i + 1]].tolist() for i in range(n_rows)]
+    tfs_out = [gf[bounds[i]:bounds[i + 1]].tolist() for i in range(n_rows)]
+    doc_len = np.zeros(n_rows, dtype=np.uint32)
+    np.add.at(doc_len, gp, gf)
+    return terms_out, tfs_out, doc_len
+
+
 def make_chain_tokenizer(spec: str):
     """Compile a chain spec into a batch tokenizer with the standard
     (terms_per_row, tfs_per_row, doc_len) signature. Register the result in
-    ``tokenize.TOKENIZERS`` under any name to use it in an IndexSpec."""
+    ``tokenize.TOKENIZERS`` under any name to use it in an IndexSpec.
+
+    Batch-structured: value steps run over ONE flat value list with parent
+    tracking (the per-value Python call is inherent to the reference's
+    Function semantics), the terminal word tokenizer runs ONCE per batch,
+    and tf aggregation is a single vectorized groupby — no per-row
+    pa.array round-trips or Counters."""
     steps = parse_chain(spec)
 
     def tokenizer(values: pa.Array):
         import pyarrow.compute as pc
 
         raw = pc.fill_null(values, "").to_pylist()
-        terms_out, tfs_out = [], []
-        doc_len = np.zeros(len(raw), dtype=np.uint32)
-        for i, v in enumerate(raw):
-            vals = [v]
-            for kind, step in steps:
-                if kind == "fn":
-                    vals = [o for x in vals for o in step(x)]
-                else:  # terminal word tokenizer over each surviving value
-                    arr = pa.array(vals, type=pa.string())
-                    t_rows, f_rows, _ = tk.TOKENIZERS[step](arr)
-                    c: Counter = Counter()
-                    for ts, fs in zip(t_rows, f_rows):
-                        for t_, f_ in zip(ts, fs):
-                            c[t_] += f_
-                    vals = None
-                    counts = sorted(c.items())
-                    terms_out.append([t_ for t_, _ in counts])
-                    tfs_out.append([f_ for _, f_ in counts])
-                    doc_len[i] = sum(c.values())
-                    break
-            if vals is not None:  # no terminal step: values themselves are terms
-                c = Counter(vals)
-                counts = sorted(c.items())
-                terms_out.append([t_ for t_, _ in counts])
-                tfs_out.append([f_ for _, f_ in counts])
-                doc_len[i] = sum(c.values())
-        return terms_out, tfs_out, doc_len
+        n_rows = len(raw)
+        vals: list[str] = raw
+        parents = np.arange(n_rows, dtype=np.int64)
+        for kind, step in steps:
+            if kind == "fn":
+                out_v: list[str] = []
+                out_p: list[int] = []
+                for v, p in zip(vals, parents):
+                    for o in step(v):
+                        out_v.append(o)
+                        out_p.append(p)
+                vals = out_v
+                parents = np.asarray(out_p, dtype=np.int64)
+            else:  # terminal word tokenizer, one batch call
+                arr = pa.array(vals, type=pa.string())
+                t_rows, f_rows, _ = tk.TOKENIZERS[step](arr)
+                flat_t: list[str] = []
+                flat_f: list[int] = []
+                flat_p: list[int] = []
+                for (ts, fs), p in zip(zip(t_rows, f_rows), parents):
+                    flat_t.extend(ts)
+                    flat_f.extend(fs)
+                    flat_p.extend([p] * len(ts))
+                return _aggregate_weighted(
+                    flat_t, flat_f, np.asarray(flat_p, dtype=np.int64), n_rows)
+        # no terminal step: surviving values themselves are the terms
+        return _aggregate_weighted(vals, [1] * len(vals), parents, n_rows)
 
     return tokenizer
 
