@@ -26,7 +26,7 @@ import ray.data
 from poseidon_ray.schema import CHUNK_SCHEMA, CORPUS_SCHEMA, IndexSpec
 from poseidon_ray.sources.fixtures import corpus_table  # noqa: F401 (re-export)
 from poseidon_ray.stages.docids import (_block_refs_and_counts, build_docstore,
-                                        read_docstore)
+                                        finalize_docstore, read_docstore)
 from poseidon_ray.stages.tokenstage import TokenizeAndCombine
 from poseidon_ray.state import segments as seg
 
@@ -146,19 +146,23 @@ def build_index(
         # is materialized — drop the reference so plasma can evict them
         # before the exchange doubles the resident bytes
         del ds
-    if shuffle == "ray":
+        # docstore file writes ran in the background, overlapped with
+        # tokenize; land the docstore.json checkpoint BEFORE the wide step
+        # so a mid-exchange kill never redoes the corpus sort
+        doc_manifest = finalize_docstore(doc_manifest)
+        _manual_exchange(chunks, out_dir, spec)
+    else:
         # Dataset-native path: global sort-based groupby. Kept as the
         # reference implementation; measured super-linear at ~1M rows on
         # this host (sort machinery + object churn), hence not the default.
         if stage_barrier:
             chunks = chunks.materialize()
+        doc_manifest = finalize_docstore(doc_manifest)
         summaries = chunks.groupby("part").map_groups(
             partial(seg.build_segment_partition, out_dir=out_dir, spec=spec),
             batch_format="pyarrow",
         )
         summaries.materialize()  # tiny: one row per partition
-    else:
-        _manual_exchange(chunks, out_dir, spec)
 
     return seg.write_index_manifest(out_dir, spec, doc_manifest["num_docs"])
 

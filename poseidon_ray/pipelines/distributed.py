@@ -100,8 +100,41 @@ class DistributedSearcher(Searcher):
         self._actors = [
             DirectoryShard.remote(index_dir, parts) for parts in groups if parts
         ]
+        self._num_parts = num_parts
+        self._num_shards = len(self._actors)
+        self._salt_factor = self._max_salt_factor
+        # hot terms live in salt_factor partitions; everything else in ONE —
+        # the same key derivation the build shuffle used (the J1
+        # IndexFilePath analog: bucket = hash(term) % P)
+        import json as _json
+        import os as _os
+
+        from poseidon_ray.pipelines.build import list_generations
+
+        self._hot: set[str] = set()
+        for g in list_generations(index_dir):
+            hp = _os.path.join(_os.path.normpath(_os.path.join(index_dir, g)),
+                               "hot_terms.json")
+            if _os.path.exists(hp):
+                with open(hp) as f:
+                    self._hot.update(_json.load(f))
         self._pcache: dict = {}
         self._scache: dict = {}
+
+    def _shards_for(self, term: str) -> list[int]:
+        """Shard-actor indices that can host this term: one partition for a
+        normal term, the salt spread for a hot one (doc-disjoint salted
+        shards) — the same key derivation the build shuffle used, so the
+        query fans out to 1 actor instead of all (the reference's J1
+        bucket-by-hash routing, inverted_index_gz_client.go:70-76)."""
+        from poseidon_ray.functions.hashing import hash_terms
+        from poseidon_ray.stages.tokenstage import _SALT_MIX
+
+        h = hash_terms(np.array([term], dtype=object))[0]
+        salts = range(self._salt_factor) if term in self._hot else (0,)
+        parts = {int((h + np.uint64(s) * _SALT_MIX) % np.uint64(self._num_parts))
+                 for s in salts}
+        return sorted({p % self._num_shards for p in parts})
 
     def _init_stats(self, index_dir: str) -> None:
         from collections import OrderedDict
@@ -115,6 +148,9 @@ class DistributedSearcher(Searcher):
         manifests = [seg.load_index_manifest(g) for g in gen_dirs]
         seg.check_generation_compat(manifests)
         self.manifest = manifests[0]
+        # routing must cover the widest salt spread any generation used
+        self._max_salt_factor = max(
+            int(m.get("salt_factor", 8)) for m in manifests)
         self.num_docs = sum(m["num_docs"] for m in manifests)
         self.k1 = self.manifest["bm25"]["k1"]
         self.b = self.manifest["bm25"]["b"]
@@ -141,10 +177,21 @@ class DistributedSearcher(Searcher):
         missing = [t for t in terms if (field, t) not in self._pcache]
         if not missing:
             return
-        futures = [a.fetch.remote(field, missing) for a in self._actors]
-        per_actor = ray.get(futures)
-        for i, t in enumerate(missing):
-            hits = [r[i] for r in per_actor if r[i] is not None]
+        # route each term to the shard(s) its hash owns — not a broadcast
+        per_shard: dict[int, list[str]] = {}
+        for t in missing:
+            for si in self._shards_for(t):
+                per_shard.setdefault(si, []).append(t)
+        futures = {si: self._actors[si].fetch.remote(field, ts)
+                   for si, ts in per_shard.items()}
+        results = dict(zip(futures, ray.get(list(futures.values()))))
+        by_term: dict[str, list] = {t: [] for t in missing}
+        for si, ts in per_shard.items():
+            for j, t in enumerate(ts):
+                if results[si][j] is not None:
+                    by_term[t].append(results[si][j])
+        for t in missing:
+            hits = by_term[t]
             if not hits:
                 self._scache[(field, t)] = (0, 0)
                 self._pcache[(field, t)] = (

@@ -37,19 +37,26 @@ SORT_KEYS = ["repo", "path", "commit"]
 
 
 @ray.remote(num_cpus=1, num_returns=2)
-def _finalize_block(block: pa.Table, base: int, path: str):
-    """Attach doc_id + sha256 to one sorted block and write it as one
-    docstore file. Idempotent via atomic rename (resume skips rewrites).
-    Returns (info, table) — the table ref feeds the next pipeline stage
-    directly from the object store, skipping a disk round-trip."""
+def _attach_ids(block: pa.Table, base: int, path: str):
+    """Attach doc_id + sha256 to one sorted block. Returns (info, table) —
+    the table ref feeds the next pipeline stage directly from the object
+    store; the parquet write happens in a separate background task so
+    tokenize starts without waiting on zstd encoding."""
     n = block.num_rows
     doc_id = pa.array(np.arange(base, base + n, dtype=np.uint64))
     sha = pa.array(sha256_column(block["content"]))
     out = block.append_column("doc_id", doc_id).append_column("sha256", sha)
-    tmp = f"{path}.tmp"
-    pq.write_table(out, tmp, row_group_size=4096, compression="zstd")
-    os.replace(tmp, path)
     return {"path": path, "first_doc_id": base, "num_rows": n}, out
+
+
+@ray.remote(num_cpus=0.5)
+def _write_docstore_file(table: pa.Table, path: str) -> str:
+    """Idempotent docstore file write (atomic rename); runs concurrently
+    with the tokenize stage (half-CPU tasks fill scheduling gaps)."""
+    tmp = f"{path}.tmp"
+    pq.write_table(table, tmp, row_group_size=4096, compression="zstd")
+    os.replace(tmp, path)
+    return path
 
 
 def build_docstore(corpus: ray.data.Dataset, out_dir: str,
@@ -75,25 +82,39 @@ def build_docstore(corpus: ray.data.Dataset, out_dir: str,
     mds = ds.materialize()
     blocks, counts = _block_refs_and_counts(mds)
     bases = docid_base + np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-    info_refs, table_refs = [], []
+    info_refs, table_refs, write_refs = [], [], []
     for i, (ref, base) in enumerate(zip(blocks, bases)):
         path = os.path.join(out_dir, "docstore", f"part-{i:06d}.parquet")
-        info, tbl = _finalize_block.remote(ref, int(base), path)
+        info, tbl = _attach_ids.remote(ref, int(base), path)
         info_refs.append(info)
         table_refs.append(tbl)
-    files = ray.get(info_refs)
-    table_refs = [t for t, f in zip(table_refs, files) if f["num_rows"] > 0]
-    files = [f for f in files if f["num_rows"] > 0]
-    manifest = {"files": files, "num_docs": int(sum(counts)),
-                "docid_base": int(docid_base)}
-    tmp = manifest_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, manifest_path)
-    # hand the finalized blocks to the next stage zero-copy (the files on
-    # disk serve checkpoint/fetch, not this run's dataflow)
+        write_refs.append(_write_docstore_file.remote(tbl, path))
+    # the manifest stays PENDING: num_docs is known from block metadata, but
+    # the file writes run in the background, overlapped with tokenize —
+    # call finalize_docstore() before trusting docstore.json on disk
+    manifest = {"files": None, "num_docs": int(sum(counts)),
+                "docid_base": int(docid_base),
+                "_pending": {"info_refs": info_refs, "write_refs": write_refs,
+                             "manifest_path": manifest_path}}
     docstore_ds = ray.data.from_arrow_refs(table_refs) if table_refs else None
     return manifest, docstore_ds
+
+
+def finalize_docstore(manifest: dict) -> dict:
+    """Resolve a pending docstore manifest: wait for the background file
+    writes, then write docstore.json atomically (the checkpoint gate). A
+    manifest loaded from disk passes through unchanged."""
+    pend = manifest.pop("_pending", None)
+    if pend is None:
+        return manifest
+    files = ray.get(pend["info_refs"])
+    ray.get(pend["write_refs"])
+    manifest["files"] = [f for f in files if f["num_rows"] > 0]
+    tmp = pend["manifest_path"] + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, pend["manifest_path"])
+    return manifest
 
 
 @ray.remote(num_cpus=0.25)

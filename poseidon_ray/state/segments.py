@@ -312,6 +312,7 @@ def write_index_manifest(out_dir: str, spec: IndexSpec, num_docs: int) -> dict:
         },
         "bm25": {"k1": spec.bm25.k1, "b": spec.bm25.b},
         "block_size": spec.block_size,
+        "salt_factor": spec.salt_factor,  # query-side term->partition routing
         # query side reconstructs field -> tokenizer (incl. custom chains)
         # from here — no shared-process registry
         "field_spec": {f: list(sc) for f, sc in spec.fields.items()},
