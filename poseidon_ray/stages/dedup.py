@@ -569,8 +569,29 @@ def verify_pairs_exact_jaccard(ds_docs: ray.data.Dataset,
     Output: (doc_a, doc_b, n_inter, n_union) as int64 — integer-exact, so a
     threshold like 10*n_inter >= 9*n_union (J >= 0.9) is float-free and matches
     a DuckDB twin bit-for-bit.
+
+    The docs side is pre-filtered to pair MEMBERS (broadcast of the member
+    id set — pairs are output-sized, orders of magnitude below the corpus)
+    so the hash pass never tokenizes docs no pair references; above
+    MAX_BROADCAST_KEEP_IDS members the filter is skipped and every doc is
+    hashed (still correct, one full pass).
     """
     from poseidon_ray.functions.hashing import hash_terms
+
+    pairs = pairs.materialize()
+    if 0 < pairs.count() <= MAX_BROADCAST_KEEP_IDS // 2:
+        pdf = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
+        member_ids = np.unique(np.concatenate(
+            [pdf["doc_a"].to_numpy(), pdf["doc_b"].to_numpy()])).astype(np.int64)
+        ref = ray.put(member_ids)
+
+        def member_filter(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            k = ray.get(ref)
+            pos = np.minimum(np.searchsorted(k, ids), len(k) - 1)
+            return t.filter(pa.array(k[pos] == ids))
+
+        ds_docs = ds_docs.map_batches(member_filter, batch_format="pyarrow")
 
     def doc_hash_rows(t: pa.Table) -> pa.Table:
         col = t[text_col]
