@@ -29,14 +29,31 @@ def _disable_thp() -> None:
     plasma/database workloads). On this VM khugepaged/kcompactd storms under
     object-store churn cost up to 2x wall time AND destroy run-to-run
     reproducibility (BASELINE.md r2 measurements: shuffle stage 38->20 s,
-    variance ±2x -> ±10% after disabling). Opt out: GRAFT_KEEP_THP=1."""
+    variance ±2x -> ±10% after disabling). Opt out: GRAFT_KEEP_THP=1.
+    The prior setting is restored on exit (atexit) — the benchmark must not
+    mutate host-wide kernel policy beyond its own run (ADVICE r2)."""
     if os.environ.get("GRAFT_KEEP_THP"):
         return
+    knob = "/sys/kernel/mm/transparent_hugepage/enabled"
     try:
-        with open("/sys/kernel/mm/transparent_hugepage/enabled", "w") as f:
+        with open(knob) as f:
+            # current setting is bracketed, e.g. "always [madvise] never"
+            prior = f.read().split("[")[1].split("]")[0]
+        with open(knob, "w") as f:
             f.write("never")
-    except OSError:
-        pass  # not privileged / not Linux — measurements just get noisier
+    except (OSError, IndexError):
+        return  # not privileged / not Linux — measurements just get noisier
+    if prior != "never":
+        import atexit
+
+        def _restore() -> None:
+            try:
+                with open(knob, "w") as f:
+                    f.write(prior)
+            except OSError:
+                pass
+
+        atexit.register(_restore)
 
 
 def _init_ray(num_cpus: int) -> None:

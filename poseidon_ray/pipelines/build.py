@@ -305,6 +305,8 @@ def extend_index(index_dir: str, new_corpus: str | ray.data.Dataset,
         "field_spec": {f: list(sc) for f, sc in spec.fields.items()},
         "chains": dict(spec.chains),
         "bm25": {"k1": spec.bm25.k1, "b": spec.bm25.b},
+        "num_partitions": spec.num_partitions,
+        "salt_factor": spec.salt_factor,
     }])
     gname = f"gen-{len(gens):05d}"
     build_index(new_corpus, os.path.join(index_dir, gname), spec,

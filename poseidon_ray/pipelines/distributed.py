@@ -148,9 +148,15 @@ class DistributedSearcher(Searcher):
         manifests = [seg.load_index_manifest(g) for g in gen_dirs]
         seg.check_generation_compat(manifests)
         self.manifest = manifests[0]
-        # routing must cover the widest salt spread any generation used
+        # routing must cover the widest salt spread any generation used;
+        # pre-r2 manifests lack salt_factor — fall back to the spec DEFAULT
+        # (the value those builds actually used), not a duplicated literal
+        # (ADVICE r2: a drifted literal would silently miss salted partitions)
+        from poseidon_ray.schema import IndexSpec
+
+        default_salt = IndexSpec().salt_factor
         self._max_salt_factor = max(
-            int(m.get("salt_factor", 8)) for m in manifests)
+            int(m.get("salt_factor", default_salt)) for m in manifests)
         self.num_docs = sum(m["num_docs"] for m in manifests)
         self.k1 = self.manifest["bm25"]["k1"]
         self.b = self.manifest["bm25"]["b"]

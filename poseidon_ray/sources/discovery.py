@@ -17,9 +17,11 @@ that was rewritten in place (size/mtime changed) is surfaced again.
 
 from __future__ import annotations
 
+import fcntl
 import glob
 import json
 import os
+from contextlib import contextmanager
 
 
 def _listing(input_dir: str, pattern: str) -> dict[str, tuple[int, int]]:
@@ -71,12 +73,27 @@ class ShardQueue:
         # a crashed driver's lease expires and the shards are re-claimable
 
     Single-file atomic state (tmp + rename), like every other checkpoint in
-    the engine. At real scale this state lives in any linearizable KV; the
-    interface is the contract.
+    the engine, with an fcntl.flock held around every load-mutate-save so
+    concurrent drivers on one host serialize their read-modify-writes
+    (tmp+rename alone prevents torn files, not lost updates — two claims
+    racing could lease the same shard; ADVICE r2). At real scale this state
+    lives in any linearizable KV; the interface is the contract.
     """
 
     def __init__(self, state_path: str):
         self.state_path = state_path
+
+    @contextmanager
+    def _locked(self):
+        """Exclusive advisory lock for the load-mutate-save window. A
+        separate .lock file (not the state file) so the tmp+rename of the
+        state never swaps the locked inode out from under a waiter."""
+        with open(self.state_path + ".lock", "a") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
     def _load(self) -> dict[str, dict]:
         if not os.path.exists(self.state_path):
@@ -91,14 +108,15 @@ class ShardQueue:
 
     def push(self, paths: list[str]) -> int:
         """Enqueue paths not already known (done paths stay done)."""
-        state = self._load()
-        added = 0
-        for p in paths:
-            if p not in state:
-                state[p] = {"status": "pending", "lease_until": 0.0,
-                            "attempts": 0}
-                added += 1
-        self._save(state)
+        with self._locked():
+            state = self._load()
+            added = 0
+            for p in paths:
+                if p not in state:
+                    state[p] = {"status": "pending", "lease_until": 0.0,
+                                "attempts": 0}
+                    added += 1
+            self._save(state)
         return added
 
     def claim(self, n: int, lease_sec: float = 900.0,
@@ -108,28 +126,30 @@ class ShardQueue:
         import time as _time
 
         now = _time.time() if now is None else now
-        state = self._load()
-        out = []
-        for p in sorted(state):
-            if len(out) >= n:
-                break
-            e = state[p]
-            if e["status"] == "pending" or (
-                    e["status"] == "leased" and e["lease_until"] < now):
-                e["status"] = "leased"
-                e["lease_until"] = now + lease_sec
-                e["attempts"] += 1
-                out.append(p)
-        self._save(state)
+        with self._locked():
+            state = self._load()
+            out = []
+            for p in sorted(state):
+                if len(out) >= n:
+                    break
+                e = state[p]
+                if e["status"] == "pending" or (
+                        e["status"] == "leased" and e["lease_until"] < now):
+                    e["status"] = "leased"
+                    e["lease_until"] = now + lease_sec
+                    e["attempts"] += 1
+                    out.append(p)
+            self._save(state)
         return out
 
     def ack(self, paths: list[str]) -> None:
-        state = self._load()
-        for p in paths:
-            if p in state:
-                state[p] = {"status": "done", "lease_until": 0.0,
-                            "attempts": state[p]["attempts"]}
-        self._save(state)
+        with self._locked():
+            state = self._load()
+            for p in paths:
+                if p in state:
+                    state[p] = {"status": "done", "lease_until": 0.0,
+                                "attempts": state[p]["attempts"]}
+            self._save(state)
 
     def stats(self) -> dict[str, int]:
         out = {"pending": 0, "leased": 0, "done": 0}

@@ -364,13 +364,19 @@ def check_generation_compat(manifests: list[dict]) -> None:
     generation agrees on the physical + scoring config. A generation built
     with a different block_size decodes to garbage doc_ids; different
     field->tokenizer maps mis-tokenize queries; different BM25 params break
-    score merging. Raise loudly instead (ADVICE r1)."""
+    score merging; different num_partitions/salt_factor silently misroute the
+    DistributedSearcher's hash fan-out (_shards_for assumes manifests[0]'s
+    values — ADVICE r2). Raise loudly instead (ADVICE r1)."""
     if len(manifests) < 2:
         return
+    # pre-r2 manifests lack salt_factor: treat missing as the spec default
+    # (the value those builds actually used)
+    defaults = {"salt_factor": IndexSpec().salt_factor}
     base = manifests[0]
-    for key in ("block_size", "field_spec", "chains", "bm25"):
+    for key in ("block_size", "field_spec", "chains", "bm25",
+                "num_partitions", "salt_factor"):
         for m in manifests[1:]:
-            if m.get(key) != base.get(key):
+            if m.get(key, defaults.get(key)) != base.get(key, defaults.get(key)):
                 raise ValueError(
                     f"incompatible generations: {key!r} differs "
                     f"({base.get(key)!r} vs {m.get(key)!r}); rebuild or "

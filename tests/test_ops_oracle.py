@@ -57,10 +57,12 @@ def test_all_queries_run(entry_mod):
         assert out is not None, name
 
 
-@pytest.mark.parametrize("name", ["term_stats", "search_and", "search_or",
-                                  "top_terms", "token_count_topk",
-                                  "exact_dedup", "lang_dist",
-                                  "quality_stats", "events_pv", "ann_topk"])
+# every ORACLE_SQL entry is gated here — a new oracle claim that is never
+# CI-compared would let regressions slip to the driver run (ADVICE r2)
+from poseidon_ray.pipelines.ops import ORACLE_SQL as _ORACLE_SQL
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLE_SQL))
 def test_oracle_match(entry_mod, ddb, name):
     qs, sqls = entry_mod.queries(), entry_mod.oracle_sql()
     assert name in sqls
