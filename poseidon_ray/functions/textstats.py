@@ -15,7 +15,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from poseidon_ray.functions.hashing import hash_terms
-from poseidon_ray.functions.tokenize import tokenize_simple, tokenize_simple_flat
+from poseidon_ray.functions.tokenize import (string_buffers, tokenize_simple,
+                                             tokenize_simple_flat)
 
 # ------------------------------------------------------------- counting
 
@@ -133,9 +134,7 @@ def rolling_fingerprint(values: pa.Array) -> pa.Array:
     out = np.zeros(n_rows, dtype=np.uint64)
     if n_rows == 0:
         return pa.array(out, type=pa.uint64())
-    data_buf = values.buffers()[2]
-    offsets = np.frombuffer(values.buffers()[1], dtype=np.int32)[
-        values.offset: values.offset + n_rows + 1].astype(np.int64)
+    offsets, data = string_buffers(values)
     row_lens = offsets[1:] - offsets[:-1]
     short = row_lens < _FP_WINDOW
     if short.any():
@@ -144,8 +143,7 @@ def rolling_fingerprint(values: pa.Array) -> pa.Array:
         vals = np.array([hash_terms([t])[0] if t else 0 for t in texts],
                         dtype=np.uint64)
         out[np.flatnonzero(short)] = vals
-    if data_buf is not None and (~short).any():
-        data = np.frombuffer(data_buf, dtype=np.uint8)
+    if data is not None and (~short).any():
         nwin_all = len(data) - _FP_WINDOW + 1
         acc = np.zeros(nwin_all, dtype=np.uint64)
         for j in range(_FP_WINDOW):

@@ -91,3 +91,50 @@ class TestShardQueueLocking:
         got = q.claim(1)
         q.ack(got)
         assert q.stats() == {"pending": 1, "leased": 0, "done": 1}
+
+
+class TestLargeStringBuffers:
+    """VERDICT r2 'What's wrong' #1: Arrow string-buffer reads must branch
+    on the offset width — a large_string column (int64 offsets, produced
+    when a block's chars exceed 2 GB) read as int32 decodes to silent
+    garbage trigrams / fingerprints."""
+
+    TEXTS = ["Hello World, this is a test!", "", "ab", "xyzzy " * 50,
+             "the quick brown fox", "Ünïcode façade — naïve"]
+
+    def test_trigram_large_string_identical(self):
+        from poseidon_ray.functions.tokenize import tokenize_trigram
+
+        small = pa.array(self.TEXTS, type=pa.string())
+        large = pa.array(self.TEXTS, type=pa.large_string())
+        ts, fs, ds = tokenize_trigram(small)
+        tl, fl, dl = tokenize_trigram(large)
+        assert ts == tl
+        assert fs == fl
+        assert np.array_equal(ds, dl)
+
+    def test_fingerprint_large_string_identical(self):
+        from poseidon_ray.functions.textstats import rolling_fingerprint
+
+        small = pa.array(self.TEXTS, type=pa.string())
+        large = pa.array(self.TEXTS, type=pa.large_string())
+        assert rolling_fingerprint(small).equals(rolling_fingerprint(large))
+
+    def test_sliced_offsets_respected(self):
+        # a sliced array has a nonzero .offset — the buffer read must honor
+        # it for both offset widths
+        from poseidon_ray.functions.tokenize import tokenize_trigram
+
+        for typ in (pa.string(), pa.large_string()):
+            full = pa.array(self.TEXTS, type=typ)
+            sl = full.slice(2, 3)
+            t_sl, _, _ = tokenize_trigram(sl)
+            t_direct, _, _ = tokenize_trigram(
+                pa.array(self.TEXTS[2:5], type=typ))
+            assert t_sl == t_direct
+
+    def test_non_string_raises(self):
+        from poseidon_ray.functions.tokenize import string_buffers
+
+        with pytest.raises(TypeError):
+            string_buffers(pa.array([1, 2, 3]))
