@@ -33,13 +33,15 @@ class DirectoryShard:
     def __init__(self, index_dir: str, parts: list[int]):
         from poseidon_ray.pipelines.build import list_generations
 
+        import pyarrow.parquet as pq
+
         self.block_size = None
         want = set(parts)
-        self._dir: dict[tuple[str, str], dict] = {}
         self._readers: dict[str, seg.SegmentReader] = {}
         gdirs = [os.path.normpath(os.path.join(index_dir, g))
                  for g in list_generations(index_dir)]
         seg.check_generation_compat([seg.load_index_manifest(g) for g in gdirs])
+        tables = []
         for gdir in gdirs:
             man = seg.load_index_manifest(gdir)
             self.block_size = man.get("block_size", 128)
@@ -50,18 +52,9 @@ class DirectoryShard:
                 part = int(name.split("-")[1].split(".")[0])
                 if part not in want:
                     continue
-                import pyarrow.parquet as pq
-
-                d = pq.read_table(os.path.join(dir_dir, name))
-                for f, t, p, r, df, cf in zip(
-                    d["field"].to_pylist(), d["term"].to_pylist(),
-                    d["segment_path"].to_pylist(), d["row_index"].to_pylist(),
-                    d["df"].to_pylist(), d["cf"].to_pylist(),
-                ):
-                    e = self._dir.setdefault((f, t), {"shards": [], "df": 0, "cf": 0})
-                    e["shards"].append((p, r))
-                    e["df"] += df
-                    e["cf"] += cf
+                tables.append(pq.read_table(os.path.join(dir_dir, name)))
+        # sorted columnar slice, not a dict-of-dicts (VERDICT r2 #7)
+        self._dir = seg.ColumnarDirectory(tables)
 
     def fetch(self, field: str, terms: list[str]):
         """[(df, cf, ids, tfs, dls) | None] aligned with ``terms``."""
