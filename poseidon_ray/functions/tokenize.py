@@ -41,11 +41,15 @@ MIN_DIGIT_LEN = 5   # pure digit runs shorter than this are noise (Util.java:77-
 MIN_HEX_LEN = 6     # 0x-prefixed hex shorter than this is noise
 
 # split on anything that is neither an ASCII word char nor a CJK ideograph
-# (the reference runs an IK segmenter over CJK, TextFunction.java:40-61; we
-# keep contiguous CJK runs as single tokens — an approximation adequate for a
-# code corpus where CJK appears only in comments/strings)
+# (the reference runs an IK dictionary segmenter over CJK,
+# TextFunction.java:40-61; we keep contiguous CJK runs as single tokens AND
+# emit overlapping character bigrams of runs >= 3 chars — the standard
+# public dictionary-free CJK indexing technique, which gives ranked
+# substring recall without a dictionary; pure-ASCII corpora are unaffected)
 _WORD_SPLIT = r"[^A-Za-z0-9_\x{4e00}-\x{9fff}]+"
 _CAMEL_INSERT = r"([a-z0-9])([A-Z])"
+_CJK_RUN3 = r"[\x{4e00}-\x{9fff}]{3,}"
+_CJK_RUN_PY = re.compile("[一-鿿]+")
 
 
 def normalize_query_term(term: str) -> str:
@@ -137,6 +141,22 @@ def tokenize_code(values: pa.Array) -> tuple[list, list, np.ndarray]:
     flat = flat.filter(nonempty)
     parents = parents[nonempty.to_numpy(zero_copy_only=False)]
 
+    # CJK bigram expansion (minority path: the vectorized regex finds the
+    # rare tokens with a >= 3-char CJK run; only those loop in Python)
+    cjk_mask = pc.match_substring_regex(flat, _CJK_RUN3)
+    cjk_rows = np.flatnonzero(cjk_mask.to_numpy(zero_copy_only=False))
+    cjk_tokens: list[str] = []
+    cjk_parents: list[int] = []
+    if len(cjk_rows):
+        for i in cjk_rows:
+            tok = flat[int(i)].as_py()
+            par = int(parents[int(i)])
+            for run in _CJK_RUN_PY.findall(tok):
+                if len(run) >= 3:
+                    for j in range(len(run) - 1):
+                        cjk_tokens.append(run[j:j + 2])
+                        cjk_parents.append(par)
+
     # sub-token expansion: snake_case + camelCase parts, kept alongside the
     # full identifier (F3 "identifier splitting")
     spaced = pc.replace_substring_regex(flat, _CAMEL_INSERT, r"\1 \2")
@@ -158,6 +178,14 @@ def tokenize_code(values: pa.Array) -> tuple[list, list, np.ndarray]:
         all_parents = np.concatenate([parents, sub_parents])
     else:
         all_tokens, all_parents = flat, parents
+
+    if cjk_tokens:
+        if isinstance(all_tokens, pa.ChunkedArray):
+            all_tokens = all_tokens.combine_chunks()
+        all_tokens = pa.concat_arrays(
+            [all_tokens, pa.array(cjk_tokens, type=all_tokens.type)])
+        all_parents = np.concatenate(
+            [all_parents, np.array(cjk_parents, dtype=np.int64)])
 
     all_tokens = pc.utf8_lower(all_tokens)
     keep = _drop_mask(all_tokens)

@@ -5,8 +5,10 @@ Decode support is split honestly by what this container can do:
 
 - REAL decoders (pure numpy / stdlib — no external libs needed):
   * PPM ``P6`` / PGM ``P5`` images -> (h, w, c) uint8 pixel tensors
+  * PNG (8-bit gray/RGB/palette/alpha, non-interlaced) -> uint8 tensors
+    (stdlib zlib inflate + numpy scanline unfiltering incl. Paeth)
   * RIFF/WAVE PCM-16 audio -> sample tensor (folded to uint8 feature range)
-- STUBBED: compressed formats (PNG/JPEG/MP3/MP4) raise NotImplementedError
+- STUBBED: formats needing codecs (JPEG/MP3/MP4) raise NotImplementedError
   at the exact point PIL/ffmpeg would be called (``fake=False``), or run a
   deterministic stand-in (``fake=True``) so the Ray-side plumbing — schema,
   batch sizing, actor lifecycle, output layout — is exercised regardless.
@@ -33,6 +35,110 @@ MEDIA_SCHEMA = pa.schema([
 
 
 # ------------------------------------------------------------ real decoders
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> uint8 array (h, w, c). Pure stdlib zlib + numpy scanline
+    unfiltering (None/Sub/Up/Average/Paeth per the public PNG spec),
+    8-bit depth, color types gray/RGB/palette/gray+alpha/RGBA,
+    non-interlaced. Palette images are expanded to RGB."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, [], None
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # chunk header + data + CRC
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {color} not supported")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = ch  # bytes per pixel at depth 8
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = arr[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:                         # None
+            rec = cur
+        elif f == 2:                       # Up — fully vectorized
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):               # Sub/Average/Paeth: left-dependent
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + prev[x]) >> 1
+                else:
+                    up = prev[x]
+                    ul = prev[x - bpp] if x >= bpp else 0
+                    p = left + up - ul
+                    pa_, pb_, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa_ <= pb_ and pa_ <= pc_) else (
+                        up if pb_ <= pc_ else ul)
+                rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        out[y] = rec
+    img = out.reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        img = plte[img[:, :, 0]]
+    return img
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, c) uint8 -> minimal valid PNG (filter 0, one IDAT). Pure
+    stdlib — the sink twin of ``decode_png`` (and the test fixture)."""
+    import struct
+    import zlib
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
 
 def decode_pnm(payload: bytes) -> np.ndarray:
     """P6 (RGB) / P5 (gray) binary PNM -> uint8 array (h, w, c). Pure
@@ -92,6 +198,10 @@ class DecodeMedia:
             px = decode_pnm(payload)
             h, w, c = px.shape
             return w, h, c, float(px.mean()), px.tobytes()
+        if payload[:8] == _PNG_SIG:
+            px = decode_png(payload)
+            h, w, c = px.shape
+            return w, h, c, float(px.mean()), px.tobytes()
         if payload[:4] == b"RIFF":
             samples = decode_wav_pcm16(payload)
             n, c = samples.shape
@@ -99,8 +209,8 @@ class DecodeMedia:
             folded = ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8)
             return n, 1, c, float(samples.mean()), folded.tobytes()
         raise NotImplementedError(
-            "compressed media (PNG/JPEG/MP3/MP4) needs PIL/ffmpeg — not in "
-            "this container; PNM images and PCM WAV decode for real, or run "
+            "compressed media (JPEG/MP3/MP4) needs PIL/ffmpeg — not in this "
+            "container; PNM + PNG images and PCM WAV decode for real, or run "
             "with fake=True for the deterministic stand-in")
 
     def __call__(self, t: pa.Table) -> pa.Table:

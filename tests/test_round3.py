@@ -406,6 +406,187 @@ class TestIVFAccessPath:
         assert m2 == on_disk == m1
 
 
+class TestCJKBigrams:
+    """r2 VERDICT 'Next round' #9: overlapping CJK character bigrams
+    alongside the whole run (public dictionary-free technique) close the
+    ranked-CJK-search gap; ASCII-only corpora are byte-unchanged (the
+    determinism suite pins that)."""
+
+    def test_bigrams_emitted_alongside_run(self):
+        from poseidon_ray.functions.tokenize import tokenize_code
+
+        terms, tfs, _dl = tokenize_code(pa.array(["加载配置文件 failed"]))
+        toks = set(terms[0])
+        assert "加载配置文件" in toks                      # whole run
+        for bg in ["加载", "载配", "配置", "置文", "文件"]:  # overlapping bigrams
+            assert bg in toks
+        assert "failed" in toks
+
+    def test_short_runs_not_expanded(self):
+        from poseidon_ray.functions.tokenize import tokenize_code
+
+        terms, _tfs, _dl = tokenize_code(pa.array(["错误 code"]))
+        toks = set(terms[0])
+        assert "错误" in toks
+        # a 2-char run IS its own bigram — no duplicates, nothing extra CJK
+        assert sum(1 for t in toks if any("一" <= c <= "鿿" for c in t)) == 1
+
+    def test_ascii_only_unchanged(self):
+        from poseidon_ray.functions.tokenize import tokenize_code
+
+        terms, tfs, dl = tokenize_code(pa.array(
+            ["def parse_line(buf): return buf.strip()"]))
+        assert all(t.isascii() for t in terms[0])
+
+    def test_ranked_cjk_query(self, ray_session, tmp_path):
+        """A ranked query for a 2-char CJK word matches docs whose comments
+        contain it inside a longer run — the IK-segmenter relevance gap."""
+        import pyarrow.parquet as pq
+
+        from poseidon_ray.pipelines.build import build_index
+        from poseidon_ray.pipelines.query import Searcher
+        from poseidon_ray.schema import IndexSpec
+        from poseidon_ray.sources.fixtures import corpus_table
+
+        t = corpus_table(30, seed=1)
+        content = t["content"].to_pylist()
+        content[7] = content[7] + "\n# 加载配置文件并返回句柄\n"
+        content[13] = content[13] + "\n# 配置错误时重试\n"
+        t = t.set_column(t.schema.get_field_index("content"), "content",
+                         pa.array(content))
+        src = str(tmp_path / "cjk.parquet")
+        pq.write_table(t, src)
+        idx = str(tmp_path / "idx")
+        build_index(src, idx, IndexSpec(num_partitions=4))
+        s = Searcher(idx)
+        hits = s.search("配置", field="content", mode="or", k=5)
+        assert {d for d, _ in hits} >= set()
+        assert len(hits) == 2        # exactly the two docs containing 配置
+        counts = s.count("配置", field="content", mode="and")
+        assert counts == 2
+
+
+class TestPngDecode:
+    """Real PNG decode (r2 VERDICT 'Next round' #7): stdlib zlib + numpy
+    unfiltering; the stub surface shrinks to JPEG/MP3/MP4."""
+
+    def _png_with_filters(self, pixels: np.ndarray, filters: list[int]) -> bytes:
+        """Encode (h, w, c) with a CHOSEN filter per scanline — exercises
+        every unfilter branch, not just filter 0."""
+        import struct
+        import zlib
+
+        h, w, ch = pixels.shape
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+
+        rows = []
+        prev = np.zeros(w * ch, dtype=np.int32)
+        for y in range(h):
+            cur = pixels[y].reshape(-1).astype(np.int32)
+            f = filters[y % len(filters)]
+            filt = np.empty(w * ch, dtype=np.int32)
+            for x in range(w * ch):
+                left = cur[x - ch] if x >= ch else 0
+                up = prev[x]
+                ul = prev[x - ch] if x >= ch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = left
+                elif f == 2:
+                    pred = up
+                elif f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - ul
+                    pa_, pb_, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa_ <= pb_ and pa_ <= pc_) else (
+                        up if pb_ <= pc_ else ul)
+                filt[x] = (cur[x] - pred) & 0xFF
+            rows.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        sig = b"\x89PNG\r\n\x1a\n"
+        return (sig + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                + chunk(b"IEND", b""))
+
+    @pytest.mark.parametrize("ch", [1, 2, 3, 4])
+    def test_roundtrip_all_filters(self, ch):
+        from poseidon_ray.stages.multimodal import decode_png
+
+        rng = np.random.default_rng(ch)
+        px = rng.integers(0, 256, size=(7, 5, ch), dtype=np.uint8)
+        payload = self._png_with_filters(px, filters=[0, 1, 2, 3, 4])
+        got = decode_png(payload)
+        assert np.array_equal(got, px)
+
+    def test_encode_decode_roundtrip(self):
+        from poseidon_ray.stages.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(9)
+        px = rng.integers(0, 256, size=(16, 11, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+    def test_palette_expansion(self):
+        import struct
+        import zlib
+
+        from poseidon_ray.stages.multimodal import decode_png
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])   # R, G, B entries
+        idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+        payload = (b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+                   + chunk(b"PLTE", plte)
+                   + chunk(b"IDAT", zlib.compress(raw))
+                   + chunk(b"IEND", b""))
+        got = decode_png(payload)
+        assert got.shape == (2, 2, 3)
+        assert got[0, 0].tolist() == [255, 0, 0]
+        assert got[0, 1].tolist() == [0, 255, 0]
+        assert got[1, 0].tolist() == [0, 0, 255]
+
+    def test_decode_media_stage_handles_png(self):
+        from poseidon_ray.stages.multimodal import DecodeMedia, encode_png
+
+        rng = np.random.default_rng(2)
+        px = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+        t = pa.table({
+            "media_id": pa.array([1], type=pa.int64()),
+            "media_type": pa.array(["image"]),
+            "payload": pa.array([encode_png(px)], type=pa.large_binary()),
+            "meta": pa.array(["{}"]),
+        })
+        out = DecodeMedia(fake=False)(t)
+        assert out["width"][0].as_py() == 13
+        assert out["height"][0].as_py() == 9
+        assert out["channels"][0].as_py() == 3
+        assert out["tensor"][0].as_py() == px.tobytes()
+
+    def test_jpeg_still_raises(self):
+        from poseidon_ray.stages.multimodal import DecodeMedia
+
+        t = pa.table({
+            "media_id": pa.array([1], type=pa.int64()),
+            "media_type": pa.array(["image"]),
+            "payload": pa.array([b"\xff\xd8\xff\xe0 fake jpeg"],
+                                type=pa.large_binary()),
+            "meta": pa.array(["{}"]),
+        })
+        with pytest.raises(NotImplementedError):
+            DecodeMedia(fake=False)(t)
+
+
 class TestSessionizeCoarse:
     def test_matches_per_user_reference(self, ray_session):
         import pandas as pd
