@@ -31,28 +31,49 @@ from poseidon_ray.functions.tokenize import tokenize_simple
 
 # ------------------------------------------------------------------ exact
 
+N_SHA_SHARDS = 1024  # coarse sha-shard key: one vectorized reduction per
+                     # shard, never one Python group per DISTINCT CONTENT
+                     # (the same granularity rule as the pair/session paths)
+
+
+def _sha_shard(sha: np.ndarray) -> np.ndarray:
+    """Coarse shuffle key from the sha hex prefix (uniform by construction)."""
+    return np.array([int(s[:8], 16) % N_SHA_SHARDS for s in sha],
+                    dtype=np.int64)
+
+
 def exact_dedup_groups(ds: ray.data.Dataset, id_col: str = "doc_id",
                        text_col: str = "text") -> ray.data.Dataset:
-    """(content_sha, keep_id, n_copies): hash-partition + per-group min —
-    keep_id is the smallest id with that exact content."""
+    """(content_sha, keep_id, n_copies): coarse sha-shard groupby, then ONE
+    lexsort + reduceat per shard — keep_id is the smallest id with that
+    exact content."""
 
     def add_sha(t: pa.Table) -> pa.Table:
-        sha = pa.array(sha256_column(t[text_col]))
-        return pa.table({ "content_sha": sha, id_col: t[id_col] })
+        sha = np.asarray(sha256_column(t[text_col]), dtype=object)
+        return pa.table({
+            "shard": pa.array(_sha_shard(sha)),
+            "content_sha": pa.array(sha, type=pa.string()),
+            id_col: t[id_col],
+        })
 
     hashed = ds.map_batches(add_sha, batch_format="pyarrow")
 
-    def reduce_group(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ids = g[id_col]
+    def reduce_shard(g: pa.Table) -> pa.Table:
+        sha = g["content_sha"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, sha))
+        sha, ids = sha[order], ids[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], sha[1:] != sha[:-1]]))
+        counts = np.diff(np.append(starts, len(sha)))
         return pa.table({
-            "content_sha": g["content_sha"][:1],
-            "keep_id": pa.array([pc.min(ids).as_py()], type=pa.int64()),
-            "n_copies": pa.array([g.num_rows], type=pa.int64()),
+            "content_sha": pa.array(sha[starts], type=pa.string()),
+            "keep_id": pa.array(ids[starts], type=pa.int64()),  # min per sha
+            "n_copies": pa.array(counts, type=pa.int64()),
         })
 
-    return hashed.groupby("content_sha").map_groups(reduce_group, batch_format="pyarrow")
+    return hashed.groupby("shard").map_groups(reduce_shard,
+                                              batch_format="pyarrow")
 
 
 MAX_BROADCAST_KEEP_IDS = 50_000_000  # ~400 MB of int64 — broadcast ceiling
@@ -64,11 +85,12 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
     """Filter to one representative (min-id) row per distinct content.
 
     ``strategy="shuffle"`` (default, the 10^12-scale path): map-side combine
-    keeps one min-id row per sha per block, then ONE groupby(sha) shuffle
-    picks the global min. No driver-side state at all; any sha group is
-    bounded by the block count (each block contributes <= 1 row per sha).
-    Content moves through the object store once — same order of cost as the
-    docID sort the index build already pays.
+    keeps one min-id row per sha per block, then ONE coarse groupby on
+    ``sha-prefix % N_SHA_SHARDS`` picks the global min per sha with one
+    vectorized lexsort per shard (never one Python group per distinct
+    content). No driver-side state at all. Content moves through the object
+    store once — same order of cost as the docID sort the index build
+    already pays.
 
     ``strategy="broadcast"``: hash-only shuffle for the keep set, then a
     broadcast filter — cheaper when the keep set is small, but driver-bound;
@@ -85,17 +107,22 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
                 first[1:] = sha[order][1:] != sha[order][:-1]
             sel = order[first]
             out = t.take(pa.array(sel, type=pa.int64()))
-            return out.append_column("content_sha",
-                                     pa.array(sha[sel], type=pa.string()))
+            out = out.append_column("content_sha",
+                                    pa.array(sha[sel], type=pa.string()))
+            return out.append_column("_shard", pa.array(_sha_shard(sha[sel])))
 
-        def keep_min(g: pa.Table) -> pa.Table:
+        def keep_min_shard(g: pa.Table) -> pa.Table:
+            sha = g["content_sha"].to_numpy(zero_copy_only=False)
             ids = g[id_col].to_numpy(zero_copy_only=False)
-            i = int(np.lexsort((ids,))[0])
-            return g.slice(i, 1).drop_columns(["content_sha"])
+            order = np.lexsort((ids, sha))
+            first = np.concatenate([[True], sha[order][1:] != sha[order][:-1]])
+            keep = order[first]     # min id per sha, one vectorized pass
+            return g.take(pa.array(keep, type=pa.int64())) \
+                .drop_columns(["content_sha", "_shard"])
 
         combined = ds.map_batches(combine, batch_format="pyarrow")
-        return combined.groupby("content_sha").map_groups(
-            keep_min, batch_format="pyarrow")
+        return combined.groupby("_shard").map_groups(
+            keep_min_shard, batch_format="pyarrow")
 
     keep = exact_dedup_groups(ds, id_col, text_col) \
         .select_columns(["keep_id"]).materialize()
