@@ -403,6 +403,53 @@ def q_embed_neardup(sf_dir: str) -> pa.Table:
     return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
 
 
+def q_embed_invariants(sf_dir: str) -> pa.Table:
+    """Self-checking oracle row for the embedding LSH sketch (same pattern
+    as ``simhash_invariants``): recompute every emitted pair's exact cosine
+    from the embeddings table and emit VIOLATIONS — emitted cosine wrong
+    (beyond 1e-9 fp tolerance), cosine below the threshold, a >= b
+    ordering, or a duplicate pair. DuckDB twin = the empty set, so any
+    violation fails the driver's hard gate."""
+    min_cos = 0.4
+    pairs = q_embed_neardup(sf_dir)
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vecs = np.stack(emb["embedding"].to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    ids_s, vecs = ids[order], vecs[order]
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms
+    a = pairs["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    emitted = pairs["cosine"].to_numpy(zero_copy_only=False)
+    empty = pa.table({"vec_a": pa.array([], type=pa.int64()),
+                      "vec_b": pa.array([], type=pa.int64()),
+                      "cos_emitted_r6": pa.array([], type=pa.int64()),
+                      "cos_actual_r6": pa.array([], type=pa.int64())})
+    if len(a) == 0:
+        return empty
+    ua = unit[np.searchsorted(ids_s, a)]
+    ub = unit[np.searchsorted(ids_s, b)]
+    actual = np.einsum("ij,ij->i", ua, ub)
+    keys = a * (ids_s.max() + 1) + b
+    dup = np.zeros(len(a), dtype=bool)
+    so = np.argsort(keys, kind="stable")
+    dup[so[1:]] = keys[so][1:] == keys[so][:-1]
+    bad = (np.abs(actual - emitted) > 1e-9) | (actual < min_cos) \
+        | (a >= b) | dup
+    if not bad.any():
+        return empty
+    return pa.table({
+        "vec_a": pa.array(a[bad], type=pa.int64()),
+        "vec_b": pa.array(b[bad], type=pa.int64()),
+        "cos_emitted_r6": pa.array(
+            np.round(emitted[bad] * 1e6).astype(np.int64)),
+        "cos_actual_r6": pa.array(
+            np.round(actual[bad] * 1e6).astype(np.int64)),
+    })
+
+
 def q_langid(sf_dir: str) -> pa.Table:
     def lid(t: pa.Table) -> pa.Table:
         col = t["text"]
@@ -732,6 +779,13 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(0 AS BIGINT) AS hamming_emitted, "
         "CAST(0 AS BIGINT) AS hamming_actual WHERE 1 = 0"
     ),
+    # self-check: emitted embedding-LSH pairs re-verified against exact
+    # cosines recomputed from the table; oracle row set is EMPTY
+    "embed_invariants": (
+        "SELECT CAST(0 AS BIGINT) AS vec_a, CAST(0 AS BIGINT) AS vec_b, "
+        "CAST(0 AS BIGINT) AS cos_emitted_r6, "
+        "CAST(0 AS BIGINT) AS cos_actual_r6 WHERE 1 = 0"
+    ),
     # exact all-pairs cosine >= 0.4, fixed-pointed at 1e-6
     "cosine_pairs": (
         "SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b, "
@@ -764,6 +818,7 @@ QUERIES = {
     "langid": q_langid,
     "ivf_full": q_ivf_full,
     "simhash_invariants": q_simhash_invariants,
+    "embed_invariants": q_embed_invariants,
     # rows-only (non-SQL-expressible: engine internals / sketches / ANN
     # approximations)
     "minhash_pairs": q_minhash_pairs,

@@ -6,8 +6,9 @@ logto_hdfs_collector.go:276-307). Two operators:
 - ``windowed_aggregate`` — tumbling-window rollup per (window, event_type):
   the A2/A3 combiner pattern applied to analytics — partial aggregation
   inside ``map_batches`` (one row per (window, type) per block), then a
-  small ``groupby`` merge, so the wide exchange moves per-window partials,
-  never events.
+  coarse-sharded ``groupby`` merge (O(shards) Python calls, one vectorized
+  pandas reduction per shard — never one Python call per (window, type)),
+  so the wide exchange moves per-window partials, never events.
 - ``sessionize`` — per-user session splitting by inactivity gap (the
   streaming-session analog): groupby(user) + vectorized timestamp diffs
   inside each group. The shuffle key is user_id; group payload is one
@@ -21,10 +22,11 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 
 _US_PER_HOUR = 3_600_000_000
+
+N_WINDOW_SHARDS = 256  # coarse merge-shard count for windowed_aggregate
 
 
 def windowed_aggregate(ds: ray.data.Dataset, *, window_hours: int = 24,
@@ -52,23 +54,37 @@ def windowed_aggregate(ds: ray.data.Dataset, *, window_hours: int = 24,
             "v": t[value_col].to_numpy(zero_copy_only=False),
         })
         g = df.groupby(["window_us", "event_type"], sort=True).agg(
-            n_events=("n", "sum"), value_sum=("v", "sum"))
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+            n_events=("n", "sum"), value_sum=("v", "sum")).reset_index()
+        # coarse merge-shard key: at scale the (window, type) key space is
+        # windows × types (per-hour windows over years × 10^3 types =
+        # 10^7+ groups) — shard it so the merge makes O(shards) Python
+        # calls, one vectorized reduction each
+        key_hash = (pd.util.hash_pandas_object(g["window_us"], index=False)
+                    .to_numpy(dtype=np.uint64)
+                    ^ pd.util.hash_pandas_object(g["event_type"], index=False)
+                    .to_numpy(dtype=np.uint64))
+        g["_mshard"] = (key_hash % np.uint64(N_WINDOW_SHARDS)).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def merge(g: pa.Table) -> pa.Table:
-        n = int(pc.sum(g["n_events"]).as_py())
-        v = float(pc.sum(g["value_sum"]).as_py())
+    def merge_shard(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas()
+        out = df.groupby(["window_us", "event_type"], sort=True).agg(
+            n_events=("n_events", "sum"),
+            value_sum=("value_sum", "sum")).reset_index()
         return pa.table({
-            "window_us": g["window_us"][:1],
-            "event_type": g["event_type"][:1],
-            "n_events": pa.array([n], type=pa.int64()),
-            "value_sum": pa.array([v], type=pa.float64()),
+            "window_us": pa.array(out["window_us"].to_numpy(), type=pa.int64()),
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "n_events": pa.array(out["n_events"].to_numpy(), type=pa.int64()),
+            "value_sum": pa.array(out["value_sum"].to_numpy(),
+                                  type=pa.float64()),
         })
 
-    return partials.groupby(["window_us", "event_type"]).map_groups(
-        merge, batch_format="pyarrow")
+    return partials.groupby("_mshard").map_groups(
+        merge_shard, batch_format="pyarrow")
 
 
 N_USER_SHARDS = 256  # coarse shuffle key: O(shards) Python group calls, not
