@@ -380,6 +380,22 @@ def q_cosine_pairs(sf_dir: str) -> pa.Table:
     return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
 
 
+_CC_SCHEMA = pa.schema([("node", pa.int64()), ("cluster_rep", pa.int64())])
+
+
+def q_dedup_clusters(sf_dir: str) -> pa.Table:
+    """Keep-one-per-cluster: distributed connected components (iterative
+    min-label propagation, O(shards) group granularity) over the exact
+    cosine >= 0.4 near-dup graph -> (node, cluster_rep = component min).
+    DuckDB twin: recursive-CTE transitive closure over the same pair SQL —
+    integer-exact on both sides."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    prs = dedup.cosine_pairs_exact(ds, min_cosine=0.4, n_bands=8)
+    out = _collect(dedup.connected_components(
+        prs, a_col="vec_a", b_col="vec_b"), _CC_SCHEMA)
+    return out.sort_by("node")
+
+
 # ------------------------------------------------------------- rows-only
 
 
@@ -786,6 +802,24 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(0 AS BIGINT) AS cos_emitted_r6, "
         "CAST(0 AS BIGINT) AS cos_actual_r6 WHERE 1 = 0"
     ),
+    # connected components over the exact cosine>=0.4 pair graph:
+    # recursive transitive closure, rep = min reachable node
+    "dedup_clusters": (
+        "WITH RECURSIVE prs AS ("
+        "  SELECT CAST(a.vec_id AS BIGINT) AS va, CAST(b.vec_id AS BIGINT) AS vb"
+        "  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+        "  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.4"
+        "), edges AS ("
+        "  SELECT va AS a, vb AS b FROM prs "
+        "UNION ALL SELECT vb, va FROM prs"
+        "), reach(node, r) AS ("
+        "  SELECT a, a FROM edges"
+        "  UNION"
+        "  SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r"
+        ") SELECT node, MIN(r) AS cluster_rep FROM reach "
+        "GROUP BY node ORDER BY node"
+    ),
     # exact all-pairs cosine >= 0.4, fixed-pointed at 1e-6
     "cosine_pairs": (
         "SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b, "
@@ -819,6 +853,7 @@ QUERIES = {
     "ivf_full": q_ivf_full,
     "simhash_invariants": q_simhash_invariants,
     "embed_invariants": q_embed_invariants,
+    "dedup_clusters": q_dedup_clusters,
     # rows-only (non-SQL-expressible: engine internals / sketches / ANN
     # approximations)
     "minhash_pairs": q_minhash_pairs,

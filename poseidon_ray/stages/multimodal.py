@@ -167,6 +167,91 @@ def decode_pnm(payload: bytes) -> np.ndarray:
     return arr.reshape(h, w, channels)
 
 
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """YUV4MPEG2 (.y4m) uncompressed video -> uint8 RGB frames
+    (n, h, w, 3). Pure numpy + the public Y4M layout: one ASCII stream
+    header (W/H/F/C params), then per frame a ``FRAME...\\n`` marker and
+    raw planar YCbCr. Colorspaces C420* (2x2-subsampled chroma, upsampled
+    here by nearest) and C444; full-range BT.601 conversion (the
+    ``C420jpeg`` convention — also applied to the other tags: synthetic
+    fixtures here are full-range, and a production sink would swap in the
+    limited-range matrix)."""
+    if not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    cspace = "420jpeg"
+    for tok in payload[len(_Y4M_MAGIC):nl].split(b" "):
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            cspace = tok[1:].decode()
+    if not w or not h:
+        raise ValueError("Y4M missing W/H")
+    if cspace.startswith("420"):
+        cw, chh = (w + 1) // 2, (h + 1) // 2
+    elif cspace == "444":
+        cw, chh = w, h
+    else:
+        raise ValueError(f"Y4M colorspace C{cspace} not supported")
+    ysz, csz = w * h, cw * chh
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("Y4M frame marker missing")
+        pos = payload.index(b"\n", pos) + 1
+        if pos + ysz + 2 * csz > len(payload):
+            raise ValueError("Y4M truncated frame")
+        y = np.frombuffer(payload, np.uint8, ysz, pos).reshape(h, w)
+        cb = np.frombuffer(payload, np.uint8, csz, pos + ysz).reshape(chh, cw)
+        cr = np.frombuffer(payload, np.uint8, csz,
+                           pos + ysz + csz).reshape(chh, cw)
+        pos += ysz + 2 * csz
+        if cw != w:  # nearest-neighbor chroma upsample
+            cb = cb[np.arange(h) // 2][:, np.arange(w) // 2]
+            cr = cr[np.arange(h) // 2][:, np.arange(w) // 2]
+        yf = y.astype(np.float64)
+        cbf = cb.astype(np.float64) - 128.0
+        crf = cr.astype(np.float64) - 128.0
+        rgb = np.stack([yf + 1.402 * crf,
+                        yf - 0.344136 * cbf - 0.714136 * crf,
+                        yf + 1.772 * cbf], axis=-1)
+        frames.append(np.clip(np.rint(rgb), 0, 255).astype(np.uint8))
+    return np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8)
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25,
+               colorspace: str = "420jpeg") -> bytes:
+    """(n, h, w, 3) uint8 RGB -> minimal .y4m (full-range BT.601; chroma
+    2x2 box-averaged for C420*, or C444). The sink twin of ``decode_y4m``
+    and the video test fixture."""
+    n, h, w, _ = frames.shape
+    sub = colorspace.startswith("420")
+    if sub and (w % 2 or h % 2):
+        raise ValueError("C420 needs even dimensions")
+    parts = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C%s\n"
+             % (w, h, fps, colorspace.encode())]
+    f = frames.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    yp = np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    cb = np.clip(np.rint(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0, 255)
+    cr = np.clip(np.rint(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255)
+    for i in range(n):
+        cbi, cri = cb[i], cr[i]
+        if sub:
+            cbi = cbi.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cri = cri.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        parts.append(b"FRAME\n" + yp[i].astype(np.uint8).tobytes()
+                     + np.rint(cbi).astype(np.uint8).tobytes()
+                     + np.rint(cri).astype(np.uint8).tobytes())
+    return b"".join(parts)
+
+
 def decode_wav_pcm16(payload: bytes) -> np.ndarray:
     """RIFF/WAVE PCM-16 -> int16 samples (n, channels). Stdlib `wave`."""
     import wave
@@ -208,10 +293,17 @@ class DecodeMedia:
             # fold to the uint8 feature range shared with images
             folded = ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8)
             return n, 1, c, float(samples.mean()), folded.tobytes()
+        if payload.startswith(_Y4M_MAGIC):
+            frames = decode_y4m(payload)
+            n, h, w, c = frames.shape
+            # single-tensor contract: first frame; per-frame work is
+            # SampleFrames' job
+            first = frames[0].tobytes() if n else b""
+            return w, h, c, float(frames.mean()) if n else 0.0, first
         raise NotImplementedError(
             "compressed media (JPEG/MP3/MP4) needs PIL/ffmpeg — not in this "
-            "container; PNM + PNG images and PCM WAV decode for real, or run "
-            "with fake=True for the deterministic stand-in")
+            "container; PNM + PNG images, PCM WAV and Y4M video decode for "
+            "real, or run with fake=True for the deterministic stand-in")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         widths, heights, chans, means, tensors = [], [], [], [], []
@@ -240,6 +332,85 @@ class DecodeMedia:
             "mean_value": pa.array(means, type=pa.float64()),
             "tensor": pa.array(tensors, type=pa.large_binary()),
         })
+
+
+class SampleFrames:
+    """video payload -> one row per sampled frame (media_id, frame_idx,
+    width, height, channels, tensor): the frame-sampling stage of a video
+    training-data pipeline, as an actor-pool ``map_batches`` class (small
+    batches — a clip x batch x actor must fit the worker heap).
+
+    Sampling: ``every_n`` (stride) or ``n_samples`` uniformly spaced over
+    the clip. ``fake=False``: REAL decode for Y4M clips, NotImplementedError
+    at the codec call site for compressed containers (MP4/MKV need ffmpeg).
+    ``fake=True`` (default): deterministic stand-in frames so the Ray-side
+    plumbing runs on opaque payloads."""
+
+    def __init__(self, every_n: int | None = None, n_samples: int = 4,
+                 fake: bool = True):
+        self.every_n = every_n
+        self.n_samples = n_samples
+        self.fake = fake
+
+    def _indices(self, n_frames: int) -> np.ndarray:
+        if n_frames <= 0:
+            return np.empty(0, dtype=np.int64)
+        if self.every_n:
+            return np.arange(0, n_frames, self.every_n, dtype=np.int64)
+        k = min(self.n_samples, n_frames)
+        return np.unique(np.linspace(0, n_frames - 1, k).round()
+                         .astype(np.int64))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, idxs, ws, hs, cs, tensors = [], [], [], [], [], []
+        mids = t["media_id"].to_pylist()
+        for row, payload in enumerate(t["payload"].to_pylist()):
+            if payload.startswith(_Y4M_MAGIC) and not self.fake:
+                frames = decode_y4m(payload)
+                n, h, w, c = frames.shape
+                per_frame = [frames[i].tobytes()
+                             for i in self._indices(n)]
+            elif self.fake:
+                dig = hashlib.sha256(payload).digest()
+                n = 1 + dig[2] % 15
+                w, h = _fake_dims(payload)
+                c = 3
+                per_frame = [hashlib.sha256(payload + bytes([i])).digest()
+                             for i in self._indices(n)]
+            else:
+                raise NotImplementedError(
+                    "compressed video (MP4/MKV) needs ffmpeg — not in this "
+                    "container; Y4M decodes for real, or run fake=True")
+            for j, tensor in zip(self._indices(n), per_frame):
+                ids.append(mids[row])
+                idxs.append(int(j))
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+                tensors.append(tensor)
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "frame_idx": pa.array(idxs, type=pa.int64()),
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+            "channels": pa.array(cs, type=pa.int32()),
+            "tensor": pa.array(tensors, type=pa.large_binary()),
+        })
+
+
+def sample_frames(ds, *, every_n: int | None = None, n_samples: int = 4,
+                  concurrency=(1, 4), batch_size: int = 8, fake: bool = True):
+    """Filter to video rows -> actor-pool frame sampling. Batch size is
+    SMALL on purpose: clips are the largest payloads in the table."""
+    vids = ds.filter(
+        expr="media_type == 'video'") if "media_type" in ds.schema().names \
+        else ds
+    return vids.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"every_n": every_n, "n_samples": n_samples,
+                               "fake": fake},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
 
 
 class ResizeMedia:
@@ -324,8 +495,8 @@ def media_pipeline(ds, *, target: int = 224, feature_dim: int = 32,
 
 def synthesize_media(n: int, seed: int = 42, real_formats: bool = False) -> pa.Table:
     """Deterministic payloads for tests/benchmarks. ``real_formats=True``
-    emits REAL P6 images and PCM-16 WAV files (decodable by the fake=False
-    path); video rows stay opaque random bytes (stub format)."""
+    emits REAL P6 images, PCM-16 WAV files and Y4M clips (all decodable by
+    the fake=False path)."""
     rng = np.random.default_rng(seed)
     payloads, types = [], []
     for i in range(n):
@@ -346,6 +517,14 @@ def synthesize_media(n: int, seed: int = 42, real_formats: bool = False) -> pa.T
                 f.writeframes(rng.integers(-32768, 32767, size=int(
                     rng.integers(100, 2000)), dtype=np.int16).tobytes())
             payloads.append(buf.getvalue())
+        elif real_formats and mtype == "video":
+            n_frames = int(rng.integers(4, 13))
+            w, h = 2 * int(rng.integers(4, 17)), 2 * int(rng.integers(4, 17))
+            # solid-color frames: survive 2x2 chroma averaging exactly
+            colors = rng.integers(0, 256, size=(n_frames, 1, 1, 3),
+                                  dtype=np.uint8)
+            frames = np.broadcast_to(colors, (n_frames, h, w, 3)).copy()
+            payloads.append(encode_y4m(frames))
         else:
             payloads.append(rng.integers(0, 256, size=int(
                 rng.integers(64, 4096)), dtype=np.uint8).tobytes())

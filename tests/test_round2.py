@@ -280,7 +280,18 @@ class TestRealMediaDecode:
         # real decode verifies dims: a 16-target resize bounds image dims
         dec = DecodeMedia(fake=False)(imgaud)
         assert (dec["width"].to_numpy(zero_copy_only=False) > 0).all()
-        # compressed/opaque formats still refuse loudly
+        # Y4M video decodes for real now (r3) — width from stream header
         video_only = media.filter(pa.compute.field("media_type") == "video")
+        vdec = DecodeMedia(fake=False)(video_only)
+        assert (vdec["width"].to_numpy(zero_copy_only=False) > 0).all()
+        # genuinely-compressed formats still refuse loudly (MP4 box magic)
+        opaque = pa.table({
+            "media_id": pa.array([0], type=pa.int64()),
+            "media_type": pa.array(["video"], type=pa.string()),
+            "payload": pa.array(
+                [b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64],
+                type=pa.large_binary()),
+            "meta": pa.array(["{}"], type=pa.string()),
+        })
         with pytest.raises(NotImplementedError):
-            DecodeMedia(fake=False)(video_only)
+            DecodeMedia(fake=False)(opaque)

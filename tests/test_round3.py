@@ -629,3 +629,160 @@ class TestSessionizeCoarse:
         out = sessionize(ray.data.from_arrow(t), num_shards=8).to_pandas()
         assert len(out) == 1000
         assert (out["n_sessions"] == 1).all()
+
+
+class TestConnectedComponents:
+    """dedup.connected_components — distributed min-label propagation vs an
+    in-test union-find reference, incl. a long chain (multi-round
+    convergence) and the empty graph."""
+
+    @staticmethod
+    def _uf_reference(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    def _run(self, edges, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages import dedup
+
+        t = pa.table({
+            "doc_a": pa.array([a for a, _ in edges], type=pa.int64()),
+            "doc_b": pa.array([b for _, b in edges], type=pa.int64()),
+        })
+        out = dedup.connected_components(
+            ray.data.from_arrow(t)).take_all()
+        return {r["node"]: r["cluster_rep"] for r in out}
+
+    def test_random_graph_matches_union_find(self, ray_session):
+        rng = np.random.default_rng(7)
+        # ids spread over a wide range so they land in many shards
+        ids = rng.choice(10**9, size=400, replace=False)
+        edges = [(int(ids[i]), int(ids[j]))
+                 for i, j in rng.integers(0, len(ids), size=(300, 2))
+                 if i != j]
+        got = self._run(edges, ray_session)
+        want = self._uf_reference(edges)
+        assert got == want
+
+    def test_chain_needs_multiple_rounds(self, ray_session):
+        # a path graph of 40 nodes: diameter 39, label must walk to the end
+        ids = list(range(1000, 1040))[::-1]  # descending so min is at the far end
+        edges = list(zip(ids[:-1], ids[1:]))
+        got = self._run(edges, ray_session)
+        assert set(got.values()) == {1000}
+        assert len(got) == 40
+
+    def test_empty(self, ray_session):
+        got = self._run([], ray_session)
+        assert got == {}
+
+    def test_self_loop_and_duplicate_edges(self, ray_session):
+        edges = [(5, 5), (5, 9), (9, 5), (5, 9), (20, 21)]
+        got = self._run(edges, ray_session)
+        assert got == {5: 5, 9: 5, 20: 20, 21: 20}
+
+
+class TestY4MFrameSample:
+    """Real Y4M video decode + the SampleFrames actor stage (the
+    frame-sampling step of a video training-data pipeline)."""
+
+    @staticmethod
+    def _clip(n=5, h=16, w=20, seed=0):
+        from poseidon_ray.stages import multimodal as mm
+
+        rng = np.random.default_rng(seed)
+        colors = rng.integers(0, 256, size=(n, 1, 1, 3), dtype=np.uint8)
+        frames = np.broadcast_to(colors, (n, h, w, 3)).copy()
+        return frames, mm.encode_y4m(frames)
+
+    def test_roundtrip_420_solid(self):
+        from poseidon_ray.stages import multimodal as mm
+
+        frames, enc = self._clip()
+        dec = mm.decode_y4m(enc)
+        assert dec.shape == frames.shape
+        assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 1
+
+    def test_roundtrip_444_arbitrary(self):
+        from poseidon_ray.stages import multimodal as mm
+
+        rng = np.random.default_rng(3)
+        arb = rng.integers(0, 256, size=(2, 8, 8, 3), dtype=np.uint8)
+        dec = mm.decode_y4m(mm.encode_y4m(arb, colorspace="444"))
+        assert np.abs(dec.astype(int) - arb.astype(int)).max() <= 1
+
+    def test_sample_uniform_and_stride(self):
+        from poseidon_ray.stages import multimodal as mm
+
+        frames, enc = self._clip(n=9)
+        t = pa.table({
+            "media_id": pa.array([7], type=pa.int64()),
+            "media_type": ["video"],
+            "payload": pa.array([enc], type=pa.large_binary()),
+            "meta": ["{}"]})
+        out = mm.SampleFrames(n_samples=3, fake=False)(t)
+        assert out["frame_idx"].to_pylist() == [0, 4, 8]
+        got = np.frombuffer(out["tensor"][1].as_py(), np.uint8).reshape(16, 20, 3)
+        assert np.abs(got.astype(int) - frames[4].astype(int)).max() <= 1
+        out2 = mm.SampleFrames(every_n=4, fake=False)(t)
+        assert out2["frame_idx"].to_pylist() == [0, 4, 8]
+
+    def test_compressed_video_raises(self):
+        from poseidon_ray.stages import multimodal as mm
+
+        t = pa.table({
+            "media_id": pa.array([1], type=pa.int64()),
+            "media_type": ["video"],
+            "payload": pa.array([b"\x00\x00\x00\x18ftypmp42"],
+                                type=pa.large_binary()),
+            "meta": ["{}"]})
+        with pytest.raises(NotImplementedError):
+            mm.SampleFrames(fake=False)(t)
+
+    def test_fake_path_same_schema(self):
+        from poseidon_ray.stages import multimodal as mm
+
+        t = pa.table({
+            "media_id": pa.array([1], type=pa.int64()),
+            "media_type": ["video"],
+            "payload": pa.array([b"opaquebytes"], type=pa.large_binary()),
+            "meta": ["{}"]})
+        real_cols = mm.SampleFrames(fake=False)(
+            pa.table({
+                "media_id": pa.array([2], type=pa.int64()),
+                "media_type": ["video"],
+                "payload": pa.array([self._clip()[1]],
+                                    type=pa.large_binary()),
+                "meta": ["{}"]})).column_names
+        out = mm.SampleFrames(fake=True)(t)
+        assert out.column_names == real_cols
+        assert out.num_rows >= 1
+
+    def test_sample_frames_pipeline(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages import multimodal as mm
+
+        tab = mm.synthesize_media(12, real_formats=True)
+        out = mm.sample_frames(ray.data.from_arrow(tab), n_samples=2,
+                               fake=False).take_all()
+        assert len(out) > 0
+        # only video rows survive the filter; every sampled frame decodes
+        vids = {i for i, ty in enumerate(tab["media_type"].to_pylist())
+                if ty == "video"}
+        assert {r["media_id"] for r in out} == vids
+        for r in out:
+            assert len(r["tensor"]) == r["width"] * r["height"] * r["channels"]
