@@ -7,9 +7,12 @@ Decode support is split honestly by what this container can do:
   * PPM ``P6`` / PGM ``P5`` images -> (h, w, c) uint8 pixel tensors
   * PNG (8-bit gray/RGB/palette/alpha, non-interlaced) -> uint8 tensors
     (stdlib zlib inflate + numpy scanline unfiltering incl. Paeth)
+  * baseline JPEG (``functions/jpegcodec``: huffman + dequant + IDCT per
+    ITU-T T.81; progressive/arithmetic still refuse)
   * RIFF/WAVE PCM-16 audio -> sample tensor (folded to uint8 feature range)
-- STUBBED: formats needing codecs (JPEG/MP3/MP4) raise NotImplementedError
-  at the exact point PIL/ffmpeg would be called (``fake=False``), or run a
+  * YUV4MPEG2 video -> uint8 RGB frame stacks (C420/C444, BT.601)
+- STUBBED: formats needing ffmpeg (MP3/MP4) raise NotImplementedError at
+  the exact point it would be called (``fake=False``), or run a
   deterministic stand-in (``fake=True``) so the Ray-side plumbing — schema,
   batch sizing, actor lifecycle, output layout — is exercised regardless.
 
@@ -271,9 +274,10 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 class DecodeMedia:
     """binary payload -> (dims, channels, mean, pixel/sample tensor).
 
-    ``fake=False``: REAL decode for PNM images and PCM WAV audio; raises
-    NotImplementedError for compressed formats (no PIL/ffmpeg here).
-    ``fake=True`` (default): deterministic stand-in for every payload."""
+    ``fake=False``: REAL decode for PNM/PNG/baseline-JPEG images, PCM WAV
+    audio and Y4M video; raises NotImplementedError for formats that need
+    ffmpeg (MP3/MP4). ``fake=True`` (default): deterministic stand-in for
+    every payload."""
 
     def __init__(self, fake: bool = True):
         self.fake = fake
@@ -300,10 +304,16 @@ class DecodeMedia:
             # SampleFrames' job
             first = frames[0].tobytes() if n else b""
             return w, h, c, float(frames.mean()) if n else 0.0, first
+        if payload[:2] == b"\xff\xd8":
+            from poseidon_ray.functions.jpegcodec import decode_jpeg
+
+            px = decode_jpeg(payload)
+            h, w, c = px.shape
+            return w, h, c, float(px.mean()), px.tobytes()
         raise NotImplementedError(
-            "compressed media (JPEG/MP3/MP4) needs PIL/ffmpeg — not in this "
-            "container; PNM + PNG images, PCM WAV and Y4M video decode for "
-            "real, or run with fake=True for the deterministic stand-in")
+            "compressed audio/video (MP3/MP4) needs ffmpeg — not in this "
+            "container; PNM/PNG/baseline-JPEG images, PCM WAV and Y4M video "
+            "decode for real, or run with fake=True for the stand-in")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         widths, heights, chans, means, tensors = [], [], [], [], []
@@ -505,7 +515,13 @@ def synthesize_media(n: int, seed: int = 42, real_formats: bool = False) -> pa.T
         if real_formats and mtype == "image":
             w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payloads.append(b"P6\n# synth\n%d %d\n255\n" % (w, h) + px.tobytes())
+            if i % 9 == 6:           # every 3rd image: baseline JPEG
+                from poseidon_ray.functions.jpegcodec import encode_jpeg
+
+                payloads.append(encode_jpeg(px, quality=95))
+            else:
+                payloads.append(
+                    b"P6\n# synth\n%d %d\n255\n" % (w, h) + px.tobytes())
         elif real_formats and mtype == "audio":
             import wave
 

@@ -573,18 +573,95 @@ class TestPngDecode:
         assert out["channels"][0].as_py() == 3
         assert out["tensor"][0].as_py() == px.tobytes()
 
-    def test_jpeg_still_raises(self):
+    def test_mp4_still_raises(self):
         from poseidon_ray.stages.multimodal import DecodeMedia
 
         t = pa.table({
             "media_id": pa.array([1], type=pa.int64()),
-            "media_type": pa.array(["image"]),
-            "payload": pa.array([b"\xff\xd8\xff\xe0 fake jpeg"],
+            "media_type": pa.array(["video"]),
+            "payload": pa.array([b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32],
                                 type=pa.large_binary()),
             "meta": pa.array(["{}"]),
         })
         with pytest.raises(NotImplementedError):
             DecodeMedia(fake=False)(t)
+
+
+class TestJpegCodec:
+    """Baseline JPEG codec (functions/jpegcodec): pure stdlib+numpy per
+    the public ITU-T T.81 spec. The encoder is the test twin — per-image
+    canonical Huffman tables mean the decoder's DHT parsing is exercised
+    with non-example tables."""
+
+    def test_solid_color_exact(self):
+        from poseidon_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        solid = np.full((16, 24, 3), (200, 30, 90), np.uint8)
+        out = decode_jpeg(encode_jpeg(solid, quality=90))
+        assert out.shape == (16, 24, 3)
+        np.testing.assert_array_equal(out, solid)
+
+    def test_smooth_gradient_tight(self):
+        from poseidon_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        yy, xx = np.mgrid[0:40, 0:56]
+        img = np.stack([(yy * 4) % 256, (xx * 3) % 256,
+                        ((yy + xx) * 2) % 256], axis=-1).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    def test_noise_q100_near_lossless(self):
+        from poseidon_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)  # non-x8 dims
+        out = decode_jpeg(encode_jpeg(img, quality=100))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+    def test_grayscale(self):
+        from poseidon_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        yy, xx = np.mgrid[0:24, 0:24]
+        g = ((yy * 3 + xx) % 200).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(g, quality=95))
+        assert out.shape == (24, 24, 1)
+        assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 4
+
+    def test_progressive_refuses(self):
+        from poseidon_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        payload = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+        sof = payload.index(b"\xff\xc0")
+        payload[sof + 1] = 0xC2                  # rewrite SOF0 -> SOF2
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(payload))
+
+    def test_not_jpeg_raises(self):
+        from poseidon_ray.functions.jpegcodec import decode_jpeg
+
+        with pytest.raises(ValueError):
+            decode_jpeg(b"P6\n1 1\n255\nabc")
+
+    def test_decode_media_stage_handles_jpeg(self):
+        from poseidon_ray.functions.jpegcodec import encode_jpeg
+        from poseidon_ray.stages.multimodal import DecodeMedia
+
+        img = np.full((10, 14, 3), (10, 120, 250), np.uint8)
+        t = pa.table({
+            "media_id": pa.array([1], type=pa.int64()),
+            "media_type": pa.array(["image"]),
+            "payload": pa.array([encode_jpeg(img, quality=90)],
+                                type=pa.large_binary()),
+            "meta": pa.array(["{}"]),
+        })
+        out = DecodeMedia(fake=False)(t)
+        assert out["width"][0].as_py() == 14
+        assert out["height"][0].as_py() == 10
+        assert out["channels"][0].as_py() == 3
+        got = np.frombuffer(out["tensor"][0].as_py(),
+                            np.uint8).reshape(10, 14, 3)
+        np.testing.assert_array_equal(got, img)
 
 
 class TestSessionizeCoarse:
