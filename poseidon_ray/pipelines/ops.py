@@ -269,6 +269,25 @@ def q_events_window(sf_dir: str) -> pa.Table:
     return out.sort_by([("window_us", "ascending"), ("event_type", "ascending")])
 
 
+def q_events_hopping(sf_dir: str) -> pa.Table:
+    """HOPPING windows (24h span, 6h hop -> each event in 4 overlapping
+    windows); replication is inside the per-block partial, so the shuffle
+    moves 4x the (window, type) partials, never 4x the events."""
+    from poseidon_ray.stages.events import windowed_aggregate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type", "value"])
+    out = _collect(windowed_aggregate(ds, window_hours=24, hop_hours=6))
+    v = out["value_sum"].to_numpy(zero_copy_only=False)
+    out = pa.table({
+        "window_us": pc.cast(out["window_us"], pa.int64()),
+        "event_type": out["event_type"],
+        "n_events": out["n_events"],
+        "value_r2": pa.array(np.round(v * 100).astype(np.int64)),
+    })
+    return out.sort_by([("window_us", "ascending"), ("event_type", "ascending")])
+
+
 def q_sessions(sf_dir: str) -> pa.Table:
     """Per-user sessionization (30-minute inactivity gap)."""
     from poseidon_ray.stages.events import sessionize
@@ -394,6 +413,34 @@ def q_dedup_clusters(sf_dir: str) -> pa.Table:
     out = _collect(dedup.connected_components(
         prs, a_col="vec_a", b_col="vec_b"), _CC_SCHEMA)
     return out.sort_by("node")
+
+
+def q_dedup_filter(sf_dir: str) -> pa.Table:
+    """END-TO-END near-dup corpus filter: minhash LSH candidates -> exact
+    Jaccard verify (>= 0.9 integer threshold) -> connected components ->
+    keep one representative (min doc_id) per cluster, pass unpaired docs
+    through. The corpus itself never shuffles (keep_representatives'
+    sharded drop-set delivery). DuckDB twin: exact pair SQL + recursive
+    closure + anti-join — integer-exact."""
+    docs = _docs(sf_dir)
+    cands = dedup.minhash_candidate_pairs(
+        docs, num_perm=128, bands=32, shingle_k=1, min_jaccard=0.7,
+        max_bucket=None)
+    verified = dedup.verify_pairs_exact_jaccard(docs, cands, num_shards=64)
+
+    def threshold(t: pa.Table) -> pa.Table:
+        i = t["n_inter"].to_numpy(zero_copy_only=False)
+        u = t["n_union"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((10 * i >= 9 * u) & (u > 0)))
+
+    prs = verified.map_batches(threshold, batch_format="pyarrow")
+    kept = dedup.keep_representatives(docs, prs, id_col="doc_id")
+    out = _collect(kept.select_columns(["doc_id", "n_chars"]))
+    out = pa.table({
+        "doc_id": pc.cast(out["doc_id"], pa.int64()),
+        "n_chars": pc.cast(out["n_chars"], pa.int64()),
+    })
+    return out.sort_by("doc_id")
 
 
 # ------------------------------------------------------------- rows-only
@@ -698,6 +745,16 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(round(sum(value) * 100) AS BIGINT) AS value_r2 "
         "FROM events GROUP BY 1, 2 ORDER BY window_us, event_type"
     ),
+    # hopping windows: 24h span / 6h hop -> 4 hop-aligned windows per event
+    "events_hopping": (
+        "SELECT CAST(ws AS BIGINT) AS window_us, event_type, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(round(sum(value) * 100) AS BIGINT) AS value_r2 "
+        "FROM events, unnest(generate_series("
+        "(epoch_us(ts) // 21600000000) * 21600000000 - 64800000000, "
+        "(epoch_us(ts) // 21600000000) * 21600000000, 21600000000)) AS t(ws) "
+        "GROUP BY 1, 2 ORDER BY window_us, event_type"
+    ),
     # 30-minute-gap sessionization per user
     "sessions": (
         "WITH o AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM events), "
@@ -820,6 +877,28 @@ ORACLE_SQL: dict[str, str] = {
         ") SELECT node, MIN(r) AS cluster_rep FROM reach "
         "GROUP BY node ORDER BY node"
     ),
+    # end-to-end near-dup filter: exact >=0.9-Jaccard pairs (same SQL as
+    # minhash_truth) -> recursive closure -> drop non-representatives
+    "dedup_filter": (
+        "WITH RECURSIVE toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+')) AS term FROM documents), "
+        "tk AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+        "FROM tk a JOIN tk b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "prs AS (SELECT doc_a, doc_b FROM inter "
+        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE 10 * i >= 9 * (sa.n + sb.n - i)), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM prs "
+        "UNION ALL SELECT doc_b, doc_a FROM prs), "
+        "reach(node, r) AS (SELECT a, a FROM edges "
+        "UNION SELECT re.node, e.b FROM reach re JOIN edges e ON e.a = re.r), "
+        "nonrep AS (SELECT node FROM (SELECT node, MIN(r) AS rep FROM reach "
+        "GROUP BY node) WHERE node <> rep) "
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+        "CAST(d.n_chars AS BIGINT) AS n_chars FROM documents d "
+        "WHERE d.doc_id NOT IN (SELECT node FROM nonrep) ORDER BY doc_id"
+    ),
     # exact all-pairs cosine >= 0.4, fixed-pointed at 1e-6
     "cosine_pairs": (
         "SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b, "
@@ -842,6 +921,7 @@ QUERIES = {
     "quality_stats": q_quality_stats,
     "events_pv": q_events_pv,
     "events_window": q_events_window,
+    "events_hopping": q_events_hopping,
     "sessions": q_sessions,
     "ann_topk": q_ann_topk,
     "bm25_topk": q_bm25_topk,
@@ -854,6 +934,7 @@ QUERIES = {
     "simhash_invariants": q_simhash_invariants,
     "embed_invariants": q_embed_invariants,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_filter": q_dedup_filter,
     # rows-only (non-SQL-expressible: engine internals / sketches / ANN
     # approximations)
     "minhash_pairs": q_minhash_pairs,

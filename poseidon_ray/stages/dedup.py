@@ -1179,3 +1179,110 @@ def connected_components(pairs: ray.data.Dataset, *,
         return pa.table({"node": t["node"], "cluster_rep": t["label"]})
 
     return labels.map_batches(project, batch_format="pyarrow")
+
+
+# ------------------------------------------------- keep-one-per-cluster
+
+MAX_DROP_IDS = 500_000_000  # 4 GB of int64 across all shards — ceiling for
+                            # the sharded drop-set delivery below
+
+
+class _DropFilter:
+    """Actor-pool anti-filter: drop every row whose id is in a hash-sharded
+    drop set. The shard arrays live in the object store (one ``ray.put``
+    each); an actor fetches a shard the FIRST time one of its batches
+    hashes into it and caches it for the rest of its life — so the drop
+    set moves at most once per (actor, shard), never per batch, and no
+    single object ever holds the whole set."""
+
+    def __init__(self, shard_refs: list, id_col: str):
+        self._refs = shard_refs
+        self._cache: dict[int, np.ndarray] = {}
+        self._id_col = id_col
+        self._n = len(shard_refs)
+
+    def _shard(self, s: int) -> np.ndarray:
+        arr = self._cache.get(s)
+        if arr is None:
+            arr = ray.get(self._refs[s])
+            self._cache[s] = arr
+        return arr
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self._id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return t
+        shards = _doc_shard_of(ids, self._n)
+        keep = np.ones(len(ids), dtype=bool)
+        for s in np.unique(shards):
+            drop = self._shard(int(s))
+            if not len(drop):
+                continue
+            m = shards == s
+            pos = np.minimum(np.searchsorted(drop, ids[m]), len(drop) - 1)
+            keep[m] = drop[pos] != ids[m]
+        return t.filter(pa.array(keep))
+
+
+def keep_representatives(ds: ray.data.Dataset, pairs: ray.data.Dataset, *,
+                         id_col: str = "doc_id",
+                         a_col: str = "doc_a", b_col: str = "doc_b",
+                         num_shards: int = N_ROUTE_SHARDS,
+                         concurrency: int = 4) -> ray.data.Dataset:
+    """End-to-end near-dup corpus filter: pair graph -> connected
+    components -> drop every non-representative member (``node !=
+    cluster_rep``); docs in no pair pass through untouched. Composes with
+    any pair generator (minhash/simhash/embedding LSH, exact verify).
+
+    Scale shape: the CORPUS never shuffles — only the O(paired-docs) drop
+    set moves, hash-sharded into ``num_shards`` object-store arrays that
+    each filter actor fetches lazily and at most once (``_DropFilter``).
+    Beyond MAX_DROP_IDS the right design is a co-partitioned sorted-merge
+    against a corpus already laid out by hash(id) — raise loudly rather
+    than pretend this path covers it.
+
+    Closes the reference's dedup story end-to-end: the reference only
+    dedups tokens within a line (builder/index ReduceGroupData.java); a
+    training-data engine must drop whole near-duplicate documents.
+    """
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col,
+                              num_shards=num_shards)
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        rep = t["cluster_rep"].to_numpy(zero_copy_only=False)
+        d = node[node != rep]
+        return pa.table({"shard": pa.array(_doc_shard_of(d, num_shards)),
+                         "drop_id": pa.array(d, type=pa.int64())})
+
+    dropped = cc.map_batches(drop_rows, batch_format="pyarrow").materialize()
+    n_drop = dropped.count()
+    if n_drop > MAX_DROP_IDS:
+        raise ValueError(
+            f"drop set ({n_drop} ids) exceeds MAX_DROP_IDS; co-partition "
+            "the corpus by hash(id) and sorted-merge per partition instead")
+
+    # driver holds only the bounded drop set (ids, not corpus): one
+    # lexsort, one split, one ray.put per shard
+    drop_schema = pa.schema([("shard", pa.int64()), ("drop_id", pa.int64())])
+    tbls = [ray.get(r) for r in dropped.to_arrow_refs()]
+    # zero-row Ray blocks may carry an empty schema — skip, then cast
+    tbls = [t.cast(drop_schema) for t in tbls if t.num_rows]
+    if tbls:
+        dt = pa.concat_tables(tbls)
+        sh = dt["shard"].to_numpy(zero_copy_only=False)
+        di = dt["drop_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        sh = di = np.array([], dtype=np.int64)
+    order = np.lexsort((di, sh))
+    sh, di = sh[order], di[order]
+    bounds = np.searchsorted(sh, np.arange(num_shards + 1))
+    refs = [ray.put(di[bounds[s]:bounds[s + 1]]) for s in range(num_shards)]
+
+    # autoscaling (1, N) pool: a FIXED pool of N can grab every CPU of a
+    # small cluster and starve the upstream read — a real deadlock on a
+    # 4-cpu test cluster (min-actors reserve all slots, the read task
+    # never schedules). min=1 keeps the pipeline always able to drain.
+    return ds.map_batches(_DropFilter, fn_constructor_args=(refs, id_col),
+                          batch_format="pyarrow",
+                          concurrency=(1, concurrency))

@@ -30,29 +30,49 @@ N_WINDOW_SHARDS = 256  # coarse merge-shard count for windowed_aggregate
 
 
 def windowed_aggregate(ds: ray.data.Dataset, *, window_hours: int = 24,
+                       hop_hours: int | None = None,
                        ts_col: str = "ts", type_col: str = "event_type",
                        value_col: str = "value") -> ray.data.Dataset:
     """(window_start, event_type, n_events, n_users_partialdistinct...) ->
     final rows (window_start, event_type, n_events, value_sum).
+
+    ``hop_hours`` (default: == window_hours -> tumbling) turns this into a
+    HOPPING/sliding window: windows start at every hop boundary and span
+    ``window_hours``, so each event lands in window_hours/hop_hours
+    overlapping windows. The replication happens inside the per-block
+    partial (vectorized row repeat) BEFORE aggregation, so the shuffle
+    still moves (window, type) partials — k× more partial rows, never k×
+    the events.
 
     Partial-aggregates per block before the shuffle; distinct-user counts
     need the raw user set and are NOT computed here (see ``events_pv`` for
     exact uv via groupby) — this operator is the high-throughput rollup.
     """
     win_us = np.int64(window_hours * _US_PER_HOUR)
+    hop_us = np.int64((hop_hours or window_hours) * _US_PER_HOUR)
+    if win_us % hop_us:
+        raise ValueError("window_hours must be a multiple of hop_hours")
+    k = int(win_us // hop_us)
 
     def partial(t: pa.Table) -> pa.Table:
         import pandas as pd
 
         ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
         ts_us = ts.astype(np.int64)
-        win = (ts_us // win_us) * win_us
+        base = (ts_us // hop_us) * hop_us
         df = pd.DataFrame({
-            "window_us": win,
+            "window_us": base,
             "event_type": t[type_col].to_pylist(),
             "n": 1,
             "v": t[value_col].to_numpy(zero_copy_only=False),
         })
+        if k > 1:
+            # each event -> the k hop-aligned windows covering it:
+            # ws in {base - i*hop : i < k} (ws <= t < ws + win)
+            df = df.loc[df.index.repeat(k)].reset_index(drop=True)
+            df["window_us"] = (df["window_us"].to_numpy()
+                               - hop_us * np.tile(np.arange(k, dtype=np.int64),
+                                                  len(ts_us)))
         g = df.groupby(["window_us", "event_type"], sort=True).agg(
             n_events=("n", "sum"), value_sum=("v", "sum")).reset_index()
         # coarse merge-shard key: at scale the (window, type) key space is

@@ -863,3 +863,111 @@ class TestY4MFrameSample:
         assert {r["media_id"] for r in out} == vids
         for r in out:
             assert len(r["tensor"]) == r["width"] * r["height"] * r["channels"]
+
+
+class TestHoppingWindows:
+    """events.windowed_aggregate hop_hours: each event lands in
+    window/hop overlapping windows; tumbling is the hop==window case."""
+
+    def _events(self, n=500, seed=3):
+        rng = np.random.default_rng(seed)
+        base = np.datetime64("2024-06-01T00:00:00", "us").astype(np.int64)
+        ts = base + rng.integers(0, 7 * 24 * 3600 * 10**6, size=n)
+        return pa.table({
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "event_type": pa.array(rng.choice(["a", "b"], size=n)),
+            "value": pa.array(rng.random(n)),
+        })
+
+    def test_hopping_covers_each_event_k_times(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages.events import windowed_aggregate
+
+        t = self._events()
+        out = windowed_aggregate(ray.data.from_arrow(t), window_hours=24,
+                                 hop_hours=6).to_pandas()
+        # total event count across windows = 4x the events
+        assert out["n_events"].sum() == 4 * t.num_rows
+        # every window start is hop-aligned
+        assert (out["window_us"] % (6 * 3600 * 10**6) == 0).all()
+        # each event's ts falls inside each window it was counted in is
+        # implied by the per-window reference below
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ety = np.asarray(t["event_type"].to_pylist())
+        hop = 6 * 3600 * 10**6
+        win = 24 * 3600 * 10**6
+        for _, r in out.sample(20, random_state=0).iterrows():
+            m = (ts >= r.window_us) & (ts < r.window_us + win) & \
+                (ety == r.event_type)
+            assert m.sum() == r.n_events
+        assert (out["window_us"] % hop == 0).all()
+
+    def test_hop_equals_window_is_tumbling(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages.events import windowed_aggregate
+
+        t = self._events(seed=4)
+        a = windowed_aggregate(ray.data.from_arrow(t), window_hours=12,
+                               hop_hours=12).to_pandas() \
+            .sort_values(["window_us", "event_type"]).reset_index(drop=True)
+        b = windowed_aggregate(ray.data.from_arrow(t), window_hours=12) \
+            .to_pandas().sort_values(["window_us", "event_type"]) \
+            .reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_non_divisible_hop_rejected(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages.events import windowed_aggregate
+
+        with pytest.raises(ValueError):
+            windowed_aggregate(ray.data.from_arrow(self._events()),
+                               window_hours=24, hop_hours=7)
+
+
+class TestKeepRepresentatives:
+    """dedup.keep_representatives — end-to-end keep-one-per-cluster filter;
+    corpus rows survive iff unpaired or the component minimum."""
+
+    def test_filter_matches_reference(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages import dedup
+
+        rng = np.random.default_rng(11)
+        ids = rng.choice(10**9, size=200, replace=False).astype(np.int64)
+        docs = pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array([f"t{i}" for i in ids])})
+        # pairs among the first 60 ids: 3 chains of 20
+        edges = []
+        for c in range(3):
+            chain = ids[c * 20:(c + 1) * 20]
+            edges += list(zip(chain[:-1], chain[1:]))
+        prs = pa.table({
+            "doc_a": pa.array([a for a, _ in edges], type=pa.int64()),
+            "doc_b": pa.array([b for _, b in edges], type=pa.int64()),
+        })
+        out = dedup.keep_representatives(
+            ray.data.from_arrow(docs), ray.data.from_arrow(prs),
+            id_col="doc_id").take_all()
+        got = sorted(r["doc_id"] for r in out)
+        keep = set(ids[60:].tolist())
+        for c in range(3):
+            keep.add(int(ids[c * 20:(c + 1) * 20].min()))
+        assert got == sorted(keep)
+
+    def test_empty_pairs_passthrough(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages import dedup
+
+        docs = pa.table({"doc_id": pa.array(np.arange(50, dtype=np.int64)),
+                         "text": pa.array(["x"] * 50)})
+        prs = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                        "doc_b": pa.array([], type=pa.int64())})
+        out = dedup.keep_representatives(
+            ray.data.from_arrow(docs), ray.data.from_arrow(prs),
+            id_col="doc_id").take_all()
+        assert len(out) == 50
