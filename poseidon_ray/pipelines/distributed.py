@@ -125,7 +125,9 @@ class DistributedSearcher(Searcher):
 
         h = hash_terms(np.array([term], dtype=object))[0]
         salts = range(self._salt_factor) if term in self._hot else (0,)
-        parts = {int((h + np.uint64(s) * _SALT_MIX) % np.uint64(self._num_parts))
+        # Python-int math with an explicit 2^64 wrap == the build side's
+        # uint64 arithmetic, without numpy's scalar-overflow RuntimeWarning
+        parts = {((int(h) + s * int(_SALT_MIX)) % (1 << 64)) % self._num_parts
                  for s in salts}
         return sorted({p % self._num_shards for p in parts})
 

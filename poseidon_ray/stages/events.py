@@ -84,7 +84,10 @@ def windowed_aggregate(ds: ray.data.Dataset, *, window_hours: int = 24,
                     ^ pd.util.hash_pandas_object(g["event_type"], index=False)
                     .to_numpy(dtype=np.uint64))
         g["_mshard"] = (key_hash % np.uint64(N_WINDOW_SHARDS)).astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # strip pandas schema metadata: the embedded dict defeats Ray's
+        # block-schema hashing (log spam + lost schema dedup)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
