@@ -288,6 +288,43 @@ def q_events_hopping(sf_dir: str) -> pa.Table:
     return out.sort_by([("window_us", "ascending"), ("event_type", "ascending")])
 
 
+def q_hll_uv(sf_dir: str) -> pa.Table:
+    """Approximate UV per event_type via distributed HyperLogLog (p=14,
+    ~0.8% σ): shuffle moves 16 KB of registers per (type, block) instead
+    of one row per distinct (type, user). Rows-only visibility row — the
+    hard gate is ``hll_invariants``."""
+    from poseidon_ray.stages import sketch
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    out = _collect(sketch.hll_count_distinct_by(ds, "event_type", "user_id"))
+    return out.sort_by("event_type")
+
+
+def q_hll_invariants(sf_dir: str) -> pa.Table:
+    """Self-checking oracle row for the HLL sketch: per event_type, emit a
+    VIOLATION row when the HLL estimate strays more than 5% (> 6 sigma at
+    p=14) from the exact distinct-user count, or when a type is missing /
+    duplicated. DuckDB twin = the empty set, so any violation fails the
+    driver's hard gate. Deterministic: fixed-key SipHash, max-merge."""
+    est = q_hll_uv(sf_dir).to_pandas().set_index("event_type")
+    exact = q_events_pv(sf_dir).to_pandas().set_index("event_type")
+    bad = []
+    types = set(est.index) | set(exact.index)
+    for ty in sorted(types):
+        if ty not in est.index or ty not in exact.index:
+            bad.append((ty, -1, -1))
+            continue
+        e, x = int(est.loc[ty, "n_distinct_est"]), int(exact.loc[ty, "uv"])
+        if x == 0 or abs(e - x) > 0.05 * x:
+            bad.append((ty, e, x))
+    return pa.table({
+        "event_type": pa.array([b[0] for b in bad], type=pa.string()),
+        "n_est": pa.array([b[1] for b in bad], type=pa.int64()),
+        "n_exact": pa.array([b[2] for b in bad], type=pa.int64()),
+    })
+
+
 def q_sessions(sf_dir: str) -> pa.Table:
     """Per-user sessionization (30-minute inactivity gap)."""
     from poseidon_ray.stages.events import sessionize
@@ -845,6 +882,13 @@ ORACLE_SQL: dict[str, str] = {
         f"FROM embeddings q, embeddings e WHERE q.vec_id < {N_ANN_QUERIES} "
         f"QUALIFY rank < {ANN_K} ORDER BY query_id, rank"
     ),
+    # self-check: HLL UV estimate within 5% of exact per event_type;
+    # oracle row set is EMPTY — any violation row fails the gate
+    "hll_invariants": (
+        "SELECT CAST('' AS VARCHAR) AS event_type, "
+        "CAST(0 AS BIGINT) AS n_est, "
+        "CAST(0 AS BIGINT) AS n_exact WHERE 1 = 0"
+    ),
     # self-check: emitted simhash pairs re-verified against recomputed
     # hashes; the oracle row set is EMPTY — any violation row fails the gate
     "simhash_invariants": (
@@ -932,11 +976,13 @@ QUERIES = {
     "langid": q_langid,
     "ivf_full": q_ivf_full,
     "simhash_invariants": q_simhash_invariants,
+    "hll_invariants": q_hll_invariants,
     "embed_invariants": q_embed_invariants,
     "dedup_clusters": q_dedup_clusters,
     "dedup_filter": q_dedup_filter,
     # rows-only (non-SQL-expressible: engine internals / sketches / ANN
     # approximations)
+    "hll_uv": q_hll_uv,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embed_neardup": q_embed_neardup,

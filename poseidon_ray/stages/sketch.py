@@ -1,0 +1,143 @@
+"""Distributed cardinality sketches (HyperLogLog).
+
+The exact-UV path (``events_pv``/A5, ``state/segments.py``) shuffles every
+distinct (key, value) pair — correct, and what the reference's PV/UV
+reducer does (builder ReduceGroupData uv counting), but at 10^10 users the
+shuffle IS the cost. HyperLogLog (Flajolet et al. 2007, public algorithm)
+replaces it with a fixed 2^p-byte register array per key: per-block
+partials combine by elementwise max (associative + commutative, so block
+structure and merge order never change the answer), and the wide exchange
+moves m bytes per (key, block) instead of one row per distinct value.
+
+Scale shape: partial registers are built fully vectorized per block
+(``np.maximum.at`` over a (keys x m) matrix), the merge is a coarse
+key-hash groupby with ONE zero-copy reshape + ``np.maximum.reduceat`` per
+shard (O(shards) Python calls), and register rows are fixed_size_binary so
+the Arrow buffer converts to a 2-D numpy view without a per-row loop.
+
+Estimator: standard HLL with the small-range linear-counting fallback.
+The 64-bit hash (functions/hashing.hash_terms, fixed-key SipHash) makes
+the 32-bit large-range correction unnecessary. Relative error is
+~1.04/sqrt(2^p): p=14 -> 0.8%.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from poseidon_ray.functions.hashing import hash_terms
+
+N_SKETCH_SHARDS = 256  # coarse merge-shard count — O(shards) Python calls
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def _ranks(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per hash: index = top p bits, rank = leading
+    zeros of the low 64-p bits + 1. Bit length via ``np.frexp`` — exact
+    because 64-p <= 53 mantissa bits for p >= 11 (asserted by callers)."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    low = (h & ((np.uint64(1) << np.uint64(64 - p)) - np.uint64(1)))
+    _, exp = np.frexp(low.astype(np.float64))  # exp == bit_length(low)
+    rank = (64 - p) - exp + 1  # low == 0 -> frexp exp 0 -> rank 64-p+1
+    return idx, rank.astype(np.uint8)
+
+
+def _estimate(regs: np.ndarray) -> np.ndarray:
+    """Row-wise HLL estimate for a (k x m) uint8 register matrix."""
+    m = regs.shape[1]
+    e = _alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)), axis=1)
+    zeros = np.sum(regs == 0, axis=1)
+    small = (e <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(m / np.maximum(zeros, 1))
+    return np.where(small, lin, e)
+
+
+def _regs_matrix(col: pa.ChunkedArray | pa.Array, m: int) -> np.ndarray:
+    """Zero-copy view of a fixed_size_binary(m) column as (rows, m) uint8."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buf = col.buffers()[1]
+    off = col.offset * m
+    return np.frombuffer(buf, dtype=np.uint8,
+                         count=len(col) * m, offset=off).reshape(-1, m)
+
+
+def hll_count_distinct_by(ds: ray.data.Dataset, key_col: str, val_col: str,
+                          *, precision: int = 14,
+                          num_shards: int = N_SKETCH_SHARDS
+                          ) -> ray.data.Dataset:
+    """Approximate distinct ``val_col`` per ``key_col`` ->
+    (key, n_distinct_est: int64). Shuffle weight: m = 2^precision bytes per
+    (key, block), independent of the number of distinct values."""
+    if not 11 <= precision <= 16:
+        raise ValueError("precision must be in [11, 16]")
+    m = 1 << precision
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        h = hash_terms(t[val_col])
+        uk, kinv = np.unique(keys, return_inverse=True)
+        idx, rank = _ranks(h, precision)
+        regs = np.zeros((len(uk), m), dtype=np.uint8)
+        np.maximum.at(regs, (kinv, idx), rank)
+        kh = hash_terms(uk) % np.uint64(num_shards)
+        return pa.table({
+            "_shard": pa.array(kh.astype(np.int64)),
+            key_col: pa.array(uk),
+            # loop-free fixed_size_binary straight from the register matrix
+            "_regs": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(m), len(uk), [None, pa.py_buffer(regs.tobytes())]),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        regs = _regs_matrix(g["_regs"], m)
+        order = np.argsort(keys, kind="stable")
+        keys, regs = keys[order], regs[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], keys[1:] != keys[:-1]]))
+        merged = np.maximum.reduceat(regs, starts, axis=0)
+        est = np.rint(_estimate(merged)).astype(np.int64)
+        return pa.table({key_col: pa.array(keys[starts]),
+                         "n_distinct_est": pa.array(est)})
+
+    return partials.groupby("_shard").map_groups(merge,
+                                                 batch_format="pyarrow")
+
+
+def hll_count_distinct(ds: ray.data.Dataset, val_col: str, *,
+                       precision: int = 14) -> int:
+    """Approximate global distinct count of ``val_col`` — one m-byte
+    register row per block, one driver-side max-merge (m bytes total)."""
+    if not 11 <= precision <= 16:
+        raise ValueError("precision must be in [11, 16]")
+    m = 1 << precision
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = hash_terms(t[val_col])
+        idx, rank = _ranks(h, precision)
+        regs = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(regs, idx, rank)
+        return pa.table({"_regs": pa.array([regs.tobytes()],
+                                           type=pa.binary(m))})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .select_columns(["_regs"]).take_all()
+    if not rows:
+        return 0
+    regs = np.zeros(m, dtype=np.uint8)
+    for r in rows:
+        regs = np.maximum(regs, np.frombuffer(r["_regs"], dtype=np.uint8))
+    return int(np.rint(_estimate(regs[None, :])[0]))

@@ -971,3 +971,70 @@ class TestKeepRepresentatives:
             ray.data.from_arrow(docs), ray.data.from_arrow(prs),
             id_col="doc_id").take_all()
         assert len(out) == 50
+
+
+class TestHLLSketch:
+    """stages/sketch.py — distributed HyperLogLog: accuracy envelope,
+    merge associativity (block-structure invariance), empty input."""
+
+    def _table(self):
+        rng = np.random.default_rng(0)
+        vals_a = rng.integers(0, 50_000, 60_000)
+        vals_b = rng.integers(0, 1_000, 30_000)
+        vals_c = np.arange(10_000)
+        keys = np.array(["a"] * 60_000 + ["b"] * 30_000 + ["c"] * 10_000)
+        vals = np.concatenate([vals_a, vals_b, vals_c]).astype(str)
+        return keys, vals, pa.table({"k": pa.array(keys),
+                                     "v": pa.array(vals)})
+
+    def test_by_key_within_5pct_of_exact(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from poseidon_ray.stages import sketch
+
+        keys, vals, t = self._table()
+        ds = ray.data.from_arrow(t).repartition(16)
+        out = sketch.hll_count_distinct_by(ds, "k", "v") \
+            .to_pandas().set_index("k")
+        exact = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"].nunique()
+        for k in ["a", "b", "c"]:
+            est, ex = int(out.loc[k, "n_distinct_est"]), int(exact[k])
+            assert abs(est - ex) / ex < 0.05, (k, est, ex)
+
+    def test_block_structure_invariance(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages import sketch
+
+        _, _, t = self._table()
+        a = sketch.hll_count_distinct_by(
+            ray.data.from_arrow(t).repartition(16), "k", "v") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        b = sketch.hll_count_distinct_by(
+            ray.data.from_arrow(t).repartition(3), "k", "v") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        assert a.equals(b)  # max-merge is associative: layout never matters
+
+    def test_global_estimate_and_empty(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages import sketch
+
+        _, vals, t = self._table()
+        ds = ray.data.from_arrow(t).repartition(8)
+        est = sketch.hll_count_distinct(ds, "v")
+        ex = len(set(vals.tolist()))
+        assert abs(est - ex) / ex < 0.05
+        empty = ray.data.from_arrow(
+            pa.table({"v": pa.array([], type=pa.string())}))
+        assert sketch.hll_count_distinct(empty, "v") == 0
+
+    def test_precision_validation(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages import sketch
+
+        ds = ray.data.from_arrow(pa.table({"v": pa.array(["x"])}))
+        with pytest.raises(ValueError):
+            sketch.hll_count_distinct(ds, "v", precision=8)
