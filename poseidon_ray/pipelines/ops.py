@@ -288,6 +288,39 @@ def q_events_hopping(sf_dir: str) -> pa.Table:
     return out.sort_by([("window_us", "ascending"), ("event_type", "ascending")])
 
 
+SAMPLE_FRAC = 0.2
+SAMPLE_THRESHOLD = int(SAMPLE_FRAC * (1 << 32))  # shared with the SQL twin
+
+
+def q_sample_docs(sf_dir: str) -> pa.Table:
+    """Deterministic 20% content-hash sample of the documents table —
+    stable under reruns / resume / repartitioning, reproduced exactly by
+    the DuckDB sha256 twin."""
+    from poseidon_ray.stages.sample import deterministic_sample
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "n_chars"])
+    out = _collect(deterministic_sample(ds, SAMPLE_FRAC, key_col="doc_id"))
+    out = pa.table({"doc_id": pc.cast(out["doc_id"], pa.int64()),
+                    "n_chars": pc.cast(out["n_chars"], pa.int64())})
+    return out.sort_by("doc_id")
+
+
+def q_hash_split(sf_dir: str) -> pa.Table:
+    """80/10/10 train/valid/test assignment by hash bucket — per-row,
+    shuffle-free, layout-independent; value-checked row-for-row against
+    the DuckDB CASE twin."""
+    from poseidon_ray.stages.sample import hash_split
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+    out = _collect(hash_split(
+        ds, {"train": 0.8, "valid": 0.1, "test": 0.1}, key_col="doc_id"))
+    out = pa.table({"doc_id": pc.cast(out["doc_id"], pa.int64()),
+                    "split": out["split"]})
+    return out.sort_by("doc_id")
+
+
 def q_hll_uv(sf_dir: str) -> pa.Table:
     """Approximate UV per event_type via distributed HyperLogLog (p=14,
     ~0.8% σ): shuffle moves 16 KB of registers per (type, block) instead
@@ -882,6 +915,22 @@ ORACLE_SQL: dict[str, str] = {
         f"FROM embeddings q, embeddings e WHERE q.vec_id < {N_ANN_QUERIES} "
         f"QUALIFY rank < {ANN_K} ORDER BY query_id, rank"
     ),
+    # deterministic content-hash sample / split — same sha256-prefix
+    # bucket on both sides, constants computed from the same expressions
+    "sample_docs": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(n_chars AS BIGINT) AS n_chars FROM documents "
+        "WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) "
+        f"AS UINTEGER) < {SAMPLE_THRESHOLD} ORDER BY doc_id"
+    ),
+    "hash_split": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE "
+        "WHEN CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) "
+        f"AS UINTEGER) < {int(np.uint64(np.cumsum([0.8, 0.1, 0.1])[0] * (1 << 32)))} THEN 'train' "
+        "WHEN CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) "
+        f"AS UINTEGER) < {int(np.uint64(np.cumsum([0.8, 0.1, 0.1])[1] * (1 << 32)))} THEN 'valid' "
+        "ELSE 'test' END AS split FROM documents ORDER BY doc_id"
+    ),
     # self-check: HLL UV estimate within 5% of exact per event_type;
     # oracle row set is EMPTY — any violation row fails the gate
     "hll_invariants": (
@@ -980,6 +1029,8 @@ QUERIES = {
     "embed_invariants": q_embed_invariants,
     "dedup_clusters": q_dedup_clusters,
     "dedup_filter": q_dedup_filter,
+    "sample_docs": q_sample_docs,
+    "hash_split": q_hash_split,
     # rows-only (non-SQL-expressible: engine internals / sketches / ANN
     # approximations)
     "hll_uv": q_hll_uv,

@@ -1038,3 +1038,64 @@ class TestHLLSketch:
         ds = ray.data.from_arrow(pa.table({"v": pa.array(["x"])}))
         with pytest.raises(ValueError):
             sketch.hll_count_distinct(ds, "v", precision=8)
+
+
+class TestDeterministicSample:
+    """stages/sample.py — content-hash sampling/splitting: stable under
+    layout, disjoint under salt, exact SQL reproducibility is covered by
+    the sample_docs / hash_split oracle rows."""
+
+    def _ds(self, n=2000):
+        return pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+
+    def test_layout_invariance(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages.sample import deterministic_sample
+
+        t = self._ds()
+        a = sorted(r["doc_id"] for r in deterministic_sample(
+            ray.data.from_arrow(t).repartition(16), 0.3).take_all())
+        b = sorted(r["doc_id"] for r in deterministic_sample(
+            ray.data.from_arrow(t).repartition(2), 0.3).take_all())
+        assert a == b
+        assert 0.25 < len(a) / t.num_rows < 0.35
+
+    def test_salt_disjointness(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages.sample import deterministic_sample
+
+        t = self._ds()
+        a = {r["doc_id"] for r in deterministic_sample(
+            ray.data.from_arrow(t), 0.1, salt="a").take_all()}
+        b = {r["doc_id"] for r in deterministic_sample(
+            ray.data.from_arrow(t), 0.1, salt="b").take_all()}
+        # independent hashes: overlap ~ 1% of rows, not 10%
+        assert len(a & b) < 0.03 * t.num_rows
+
+    def test_split_partition_of_corpus(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages.sample import hash_split
+
+        t = self._ds()
+        out = hash_split(ray.data.from_arrow(t),
+                         {"train": 0.8, "valid": 0.1, "test": 0.1}) \
+            .to_pandas()
+        assert len(out) == t.num_rows          # every row assigned once
+        frac = out["split"].value_counts(normalize=True)
+        assert abs(frac["train"] - 0.8) < 0.05
+        assert abs(frac["valid"] - 0.1) < 0.03
+        assert abs(frac["test"] - 0.1) < 0.03
+
+    def test_validation(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages.sample import deterministic_sample, hash_split
+
+        ds = ray.data.from_arrow(self._ds(10))
+        with pytest.raises(ValueError):
+            deterministic_sample(ds, 1.5)
+        with pytest.raises(ValueError):
+            hash_split(ds, {"a": 0.5, "b": 0.4})
