@@ -321,6 +321,65 @@ def q_hash_split(sf_dir: str) -> pa.Table:
     return out.sort_by("doc_id")
 
 
+def q_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Top-50 terms by total term frequency via the Misra-Gries sketch.
+    num_counters exceeds the per-block vocabulary at oracle scale, so
+    every deduction is 0 and the result is EXACT top-k (count_lo ==
+    count_hi == cf) — value-identical to the DuckDB GROUP BY twin. The
+    approximate regime is gated separately by ``hh_invariants``."""
+    from poseidon_ray.stages import sketch
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+    return sketch.heavy_hitters(ds, k=50, num_counters=200_000)
+
+
+def q_hh_invariants(sf_dir: str) -> pa.Table:
+    """Self-checking oracle row for the APPROXIMATE heavy-hitter regime:
+    tiny num_counters (8) forces real Misra-Gries deductions, then every
+    reported term's exact cf must sit in [count_lo, count_hi], and every
+    term with exact cf above the k-th count_lo + err must be reported
+    (the sketch's completeness guarantee). Violations out; DuckDB twin =
+    the empty set."""
+    from poseidon_ray.functions.tokenize import tokenize_simple_flat
+    from poseidon_ray.stages import sketch
+
+    k = 10
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+    # num_counters far below the corpus vocabulary -> every block really
+    # deducts, so the bounds/completeness guarantees are exercised for real
+    rep = sketch.heavy_hitters(ds, k=k, num_counters=8)
+    # exact cf, recomputed from the table (sf0.01 scale; same pattern as
+    # embed_invariants / simhash_invariants self-checks)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    terms, tfs, _, _ = tokenize_simple_flat(docs["text"].combine_chunks())
+    ut, inv = np.unique(terms, return_inverse=True)
+    cf = np.bincount(inv, weights=tfs.astype(np.float64)).astype(np.int64)
+    exact = dict(zip(ut.tolist(), cf.tolist()))
+    r_terms = rep["term"].to_pylist()
+    r_lo = rep["count_lo"].to_numpy(zero_copy_only=False)
+    r_hi = rep["count_hi"].to_numpy(zero_copy_only=False)
+    bad: list[tuple[str, int, int]] = []
+    for t, lo, hi in zip(r_terms, r_lo, r_hi):
+        ex = exact.get(t, 0)
+        if not lo <= ex <= hi:
+            bad.append((t, int(lo), int(ex)))
+    if len(r_lo):
+        err = int(r_hi[0] - r_lo[0])
+        thresh = int(r_lo[min(k, len(r_lo)) - 1]) + err
+        reported = set(r_terms)
+        for t, ex in exact.items():
+            if ex > thresh and t not in reported:
+                bad.append((t, -1, int(ex)))
+    return pa.table({
+        "term": pa.array([b[0] for b in bad], type=pa.string()),
+        "count_lo": pa.array([b[1] for b in bad], type=pa.int64()),
+        "count_exact": pa.array([b[2] for b in bad], type=pa.int64()),
+    })
+
+
 def q_hll_uv(sf_dir: str) -> pa.Table:
     """Approximate UV per event_type via distributed HyperLogLog (p=14,
     ~0.8% σ): shuffle moves 16 KB of registers per (type, block) instead
@@ -931,6 +990,23 @@ ORACLE_SQL: dict[str, str] = {
         f"AS UINTEGER) < {int(np.uint64(np.cumsum([0.8, 0.1, 0.1])[1] * (1 << 32)))} THEN 'valid' "
         "ELSE 'test' END AS split FROM documents ORDER BY doc_id"
     ),
+    # Misra-Gries top-50 terms: exact at oracle scale (num_counters >
+    # per-block vocab => zero deduction), ties broken (cf desc, term asc)
+    "heavy_hitters": (
+        "WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), "
+        "'[^a-z0-9]+')) AS term FROM documents), "
+        "cf AS (SELECT term, count(*) AS c FROM toks WHERE term <> '' "
+        "GROUP BY term) "
+        "SELECT term, CAST(c AS BIGINT) AS count_lo, "
+        "CAST(c AS BIGINT) AS count_hi FROM cf "
+        "ORDER BY c DESC, term LIMIT 50"
+    ),
+    # self-check: approximate-regime Misra-Gries bounds + completeness;
+    # oracle row set is EMPTY — any violation row fails the gate
+    "hh_invariants": (
+        "SELECT CAST('' AS VARCHAR) AS term, CAST(0 AS BIGINT) AS count_lo, "
+        "CAST(0 AS BIGINT) AS count_exact WHERE 1 = 0"
+    ),
     # self-check: HLL UV estimate within 5% of exact per event_type;
     # oracle row set is EMPTY — any violation row fails the gate
     "hll_invariants": (
@@ -1026,6 +1102,8 @@ QUERIES = {
     "ivf_full": q_ivf_full,
     "simhash_invariants": q_simhash_invariants,
     "hll_invariants": q_hll_invariants,
+    "heavy_hitters": q_heavy_hitters,
+    "hh_invariants": q_hh_invariants,
     "embed_invariants": q_embed_invariants,
     "dedup_clusters": q_dedup_clusters,
     "dedup_filter": q_dedup_filter,

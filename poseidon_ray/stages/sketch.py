@@ -141,3 +141,97 @@ def hll_count_distinct(ds: ray.data.Dataset, val_col: str, *,
     for r in rows:
         regs = np.maximum(regs, np.frombuffer(r["_regs"], dtype=np.uint8))
     return int(np.rint(_estimate(regs[None, :])[0]))
+
+
+# ------------------------------------------------------------ heavy hitters
+
+def heavy_hitters(ds: ray.data.Dataset, *, k: int = 50,
+                  num_counters: int = 4096, text_col: str = "text",
+                  num_shards: int = N_SKETCH_SHARDS) -> "pa.Table":
+    """Approximate top-k terms by total term frequency without the full
+    term shuffle — Misra-Gries / SpaceSaving summaries, merged the
+    mergeable-summaries way (Misra & Gries 1982; Agarwal et al. 2013,
+    both public):
+
+    - per block: exact (term, cf) counts, then the Misra-Gries reduction
+      to ``num_counters`` entries — subtract the (s+1)-th largest count
+      ``d_j`` from every kept count, drop <= 0. Every kept count is a
+      LOWER bound; the total deduction ``sum d_j`` bounds the global
+      undercount for EVERY term (kept or dropped).
+    - merge: coarse term-hash groupby, ONE lexsort+reduceat sum per shard,
+      then per-shard top-k; the driver merges shards x k candidate rows
+      and sum(d_j) — never the full vocabulary.
+
+    Returns a pa.Table (k rows): (term, count_lo, count_hi) with the
+    guarantee count_lo <= cf(term) <= count_lo + sum(d_j) = count_hi, and
+    every term with cf > k-th count_lo + sum(d_j) is present. With
+    ``num_counters`` >= distinct-terms-per-block the deductions are all 0
+    and the result is EXACT top-k (the small-scale oracle regime).
+
+    Scale shape: shuffle weight <= num_counters rows per block (16-48 KB)
+    regardless of vocabulary size; the exact `top_terms` pipeline by
+    contrast moves every distinct (term, block) pair.
+    """
+    from poseidon_ray.functions.tokenize import tokenize_simple_flat
+
+    def partial(t: pa.Table) -> pa.Table:
+        terms, tfs, _, _ = tokenize_simple_flat(
+            t[text_col].combine_chunks())
+        if len(terms) == 0:
+            return pa.table({"_shard": pa.array([], type=pa.int64()),
+                             "term": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        ut, inv = np.unique(terms, return_inverse=True)
+        cnt = np.bincount(inv, weights=tfs.astype(np.float64)) \
+            .astype(np.int64)
+        if len(ut) > num_counters:
+            order = np.argsort(cnt)[::-1]
+            d = cnt[order[num_counters]]
+            keep = order[:num_counters]
+            ut, cnt = ut[keep], cnt[keep] - d
+            pos = cnt > 0
+            ut, cnt = ut[pos], cnt[pos]
+        else:
+            d = np.int64(0)
+        sh = (hash_terms(ut) % np.uint64(num_shards)).astype(np.int64) \
+            if len(ut) else np.array([], dtype=np.int64)
+        # the deduction rides as a sentinel row (term NULL, shard -1)
+        return pa.table({
+            "_shard": pa.array(np.concatenate([sh, [-1]])),
+            "term": pa.array(np.concatenate([ut, [None]]), type=pa.string()),
+            "cnt": pa.array(np.concatenate([cnt, [d]]), type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if g["_shard"][0].as_py() == -1:  # deduction shard: one sum
+            return pa.table({
+                "term": pa.array([None], type=pa.string()),
+                "cnt": pa.array([pc.sum(g["cnt"]).as_py() or 0],
+                                type=pa.int64())})
+        terms = g["term"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(terms, kind="stable")
+        terms, cnt = terms[order], cnt[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], terms[1:] != terms[:-1]]))
+        sums = np.add.reduceat(cnt, starts)
+        ut = terms[starts]
+        top = np.lexsort((ut, -sums))[:k]  # (count desc, term asc)
+        return pa.table({"term": pa.array(ut[top], type=pa.string()),
+                         "cnt": pa.array(sums[top], type=pa.int64())})
+
+    rows = partials.groupby("_shard").map_groups(
+        merge, batch_format="pyarrow").take_all()
+    err = sum(r["cnt"] for r in rows if r["term"] is None)
+    cand = [(r["term"], r["cnt"]) for r in rows if r["term"] is not None]
+    cand.sort(key=lambda x: (-x[1], x[0]))
+    cand = cand[:k]
+    return pa.table({
+        "term": pa.array([c[0] for c in cand], type=pa.string()),
+        "count_lo": pa.array([c[1] for c in cand], type=pa.int64()),
+        "count_hi": pa.array([c[1] + err for c in cand], type=pa.int64()),
+    })

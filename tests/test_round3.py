@@ -1099,3 +1099,56 @@ class TestDeterministicSample:
             deterministic_sample(ds, 1.5)
         with pytest.raises(ValueError):
             hash_split(ds, {"a": 0.5, "b": 0.4})
+
+
+class TestHeavyHitters:
+    """stages/sketch.py heavy_hitters — Misra-Gries mergeable summaries:
+    exact in the big-counter regime, bounded + complete in the small-
+    counter regime, on a skewed synthetic vocabulary."""
+
+    def _docs(self, n=3000, vocab=2000, seed=5):
+        rng = np.random.default_rng(seed)
+        # zipf-ish skew: heavy head, long tail
+        freq = rng.zipf(1.3, size=n * 20) % vocab
+        words = np.array([f"w{f:05d}" for f in freq])
+        docs = [" ".join(words[i * 20:(i + 1) * 20]) for i in range(n)]
+        exact = {}
+        for w in words:
+            exact[w] = exact.get(w, 0) + 1
+        return pa.table({"text": pa.array(docs)}), exact
+
+    def test_exact_regime_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages import sketch
+
+        t, exact = self._docs()
+        out = sketch.heavy_hitters(
+            ray.data.from_arrow(t).repartition(8), k=20,
+            num_counters=100_000)
+        want = sorted(exact.items(), key=lambda x: (-x[1], x[0]))[:20]
+        got = list(zip(out["term"].to_pylist(),
+                       out["count_lo"].to_pylist()))
+        assert got == [(w, c) for w, c in want]
+        assert out["count_lo"].to_pylist() == out["count_hi"].to_pylist()
+
+    def test_approximate_regime_bounds_and_completeness(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages import sketch
+
+        t, exact = self._docs()
+        k = 10
+        out = sketch.heavy_hitters(
+            ray.data.from_arrow(t).repartition(8), k=k, num_counters=64)
+        lo = out["count_lo"].to_numpy(zero_copy_only=False)
+        hi = out["count_hi"].to_numpy(zero_copy_only=False)
+        err = int(hi[0] - lo[0])
+        assert err > 0  # the tiny-counter regime really deducted
+        for term, l, h in zip(out["term"].to_pylist(), lo, hi):
+            assert l <= exact.get(term, 0) <= h, term
+        thresh = int(lo[min(k, len(lo)) - 1]) + err
+        reported = set(out["term"].to_pylist())
+        for w, c in exact.items():
+            if c > thresh:
+                assert w in reported, (w, c, thresh)
