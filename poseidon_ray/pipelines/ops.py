@@ -321,6 +321,20 @@ def q_hash_split(sf_dir: str) -> pa.Table:
     return out.sort_by("doc_id")
 
 
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Deterministic 20-per-language sample (training-mix balancing):
+    k smallest sha256 buckets per lang, ties by doc_id — row-identical to
+    the DuckDB QUALIFY row_number() twin."""
+    from poseidon_ray.stages.sample import stratified_sample
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "lang"])
+    out = _collect(stratified_sample(ds, "lang", 20, key_col="doc_id"))
+    out = pa.table({"doc_id": pc.cast(out["doc_id"], pa.int64()),
+                    "lang": out["lang"]})
+    return out.sort_by("doc_id")
+
+
 def q_heavy_hitters(sf_dir: str) -> pa.Table:
     """Top-50 terms by total term frequency via the Misra-Gries sketch.
     num_counters exceeds the per-block vocabulary at oracle scale, so
@@ -990,6 +1004,14 @@ ORACLE_SQL: dict[str, str] = {
         f"AS UINTEGER) < {int(np.uint64(np.cumsum([0.8, 0.1, 0.1])[1] * (1 << 32)))} THEN 'valid' "
         "ELSE 'test' END AS split FROM documents ORDER BY doc_id"
     ),
+    # deterministic 20-per-language sample: k smallest sha256 buckets per
+    # group, ties by doc_id — identical ordering expression both sides
+    "stratified_sample": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY "
+        "CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "AS UINTEGER), doc_id) <= 20 ORDER BY doc_id"
+    ),
     # Misra-Gries top-50 terms: exact at oracle scale (num_counters >
     # per-block vocab => zero deduction), ties broken (cf desc, term asc)
     "heavy_hitters": (
@@ -1109,6 +1131,7 @@ QUERIES = {
     "dedup_filter": q_dedup_filter,
     "sample_docs": q_sample_docs,
     "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
     # rows-only (non-SQL-expressible: engine internals / sketches / ANN
     # approximations)
     "hll_uv": q_hll_uv,

@@ -75,3 +75,56 @@ def hash_split(ds: ray.data.Dataset, splits: dict[str, float], *,
         return t.append_column(out_col, pa.array(lab, type=pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+N_STRATA_SHARDS = 256  # coarse merge-shard count for stratified_sample
+
+
+def stratified_sample(ds: ray.data.Dataset, group_col: str, k: int, *,
+                      key_col: str = "doc_id",
+                      salt: str = "",
+                      num_shards: int = N_STRATA_SHARDS) -> ray.data.Dataset:
+    """Deterministic k-per-group sample (e.g. balance languages in a
+    training mix): within each ``group_col`` value keep the k rows with the
+    smallest content-hash bucket (ties by ``key_col``) — a uniform
+    without-replacement draw that is stable under layout/rerun and
+    reproducible in SQL (``QUALIFY row_number() OVER (PARTITION BY g
+    ORDER BY bucket, key) <= k``).
+
+    Scale shape: classic top-k combiner — each block forwards at most
+    k rows per group it contains (vectorized lexsort + per-group rank),
+    the merge is a coarse group-hash groupby doing ONE lexsort + rank per
+    shard; the wide exchange carries candidate rows only, never the
+    corpus.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def _rank_select(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        b = t["_bucket"].to_numpy(zero_copy_only=False)
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, b, g))
+        gs = g[order]
+        starts = np.concatenate([[True], gs[1:] != gs[:-1]])
+        # rank within group = position - start-of-group position
+        pos = np.arange(len(gs))
+        group_start = np.maximum.accumulate(np.where(starts, pos, 0))
+        keep = order[(pos - group_start) < k]
+        return t.take(pa.array(np.sort(keep), type=pa.int64()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = _bucket_u32(t[key_col].to_pylist(), salt)
+        t = t.append_column("_bucket", pa.array(b.astype(np.int64)))
+        t = _rank_select(t)
+        gh = _bucket_u32(t[group_col].to_pylist(), "strata-shard")
+        return t.append_column(
+            "_gshard", pa.array((gh % num_shards).astype(np.int64)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        return _rank_select(g).drop_columns(["_bucket", "_gshard"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_gshard").map_groups(merge, batch_format="pyarrow")

@@ -1152,3 +1152,43 @@ class TestHeavyHitters:
         for w, c in exact.items():
             if c > thresh:
                 assert w in reported, (w, c, thresh)
+
+
+class TestStratifiedSample:
+    """sample.stratified_sample — deterministic k-per-group draw."""
+
+    def _t(self, n=3000):
+        rng = np.random.default_rng(9)
+        return pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "grp": pa.array(rng.choice(["a", "b", "c", "rare"],
+                                       p=[0.5, 0.3, 0.19, 0.01], size=n)),
+        })
+
+    def test_k_per_group_and_layout_invariance(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages.sample import stratified_sample
+
+        t = self._t()
+        a = stratified_sample(ray.data.from_arrow(t).repartition(16),
+                              "grp", 25).to_pandas()
+        b = stratified_sample(ray.data.from_arrow(t).repartition(2),
+                              "grp", 25).to_pandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+        counts = a["grp"].value_counts()
+        for g in ["a", "b", "c"]:
+            assert counts[g] == 25
+        # a group smaller than k yields all its rows
+        n_rare = (t["grp"].to_pandas() == "rare").sum()
+        assert counts.get("rare", 0) == min(25, n_rare)
+
+    def test_validation(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages.sample import stratified_sample
+
+        with pytest.raises(ValueError):
+            stratified_sample(ray.data.from_arrow(self._t(10)), "grp", 0)
