@@ -394,6 +394,48 @@ def q_hh_invariants(sf_dir: str) -> pa.Table:
     })
 
 
+def q_df_invariants(sf_dir: str) -> pa.Table:
+    """Sketch-composition self-check: per-term APPROXIMATE document
+    frequency via per-key HLL over the flat (term, doc) stream (p=13,
+    8 KB registers — sized for key spaces where a dense per-key sketch
+    fits a block; full-vocabulary df stays the exact directory's job),
+    gated against the EXACT df the index directory computed through the
+    whole build pipeline. Violations (estimate off by > max(3, 5%))
+    out; DuckDB twin = the empty set."""
+    from poseidon_ray.functions.tokenize import tokenize_simple_flat
+    from poseidon_ray.stages import sketch
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def flat(t: pa.Table) -> pa.Table:
+        terms, _, parents, _ = tokenize_simple_flat(
+            t["text"].combine_chunks())
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[parents]
+        return pa.table({"term": pa.array(terms, type=pa.string()),
+                         "doc": pa.array(ids, type=pa.int64())})
+
+    est_t = _collect(sketch.hll_count_distinct_by(
+        ds.map_batches(flat, batch_format="pyarrow"), "term", "doc",
+        precision=13))
+    est = dict(zip(est_t["term"].to_pylist(),
+                   est_t["n_distinct_est"].to_pylist()))
+    exact_t = q_term_stats(sf_dir)
+    exact = dict(zip(exact_t["term"].to_pylist(),
+                     exact_t["df"].to_pylist()))
+    bad = []
+    for term in sorted(set(est) | set(exact)):
+        e, x = est.get(term), exact.get(term)
+        if e is None or x is None or abs(e - x) > max(3, 0.05 * x):
+            bad.append((term, -1 if e is None else int(e),
+                        -1 if x is None else int(x)))
+    return pa.table({
+        "term": pa.array([b[0] for b in bad], type=pa.string()),
+        "df_est": pa.array([b[1] for b in bad], type=pa.int64()),
+        "df_exact": pa.array([b[2] for b in bad], type=pa.int64()),
+    })
+
+
 def q_hll_uv(sf_dir: str) -> pa.Table:
     """Approximate UV per event_type via distributed HyperLogLog (p=14,
     ~0.8% σ): shuffle moves 16 KB of registers per (type, block) instead
@@ -1029,6 +1071,12 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT CAST('' AS VARCHAR) AS term, CAST(0 AS BIGINT) AS count_lo, "
         "CAST(0 AS BIGINT) AS count_exact WHERE 1 = 0"
     ),
+    # self-check: per-term HLL df vs the exact directory df; oracle row
+    # set is EMPTY — any violation row fails the gate
+    "df_invariants": (
+        "SELECT CAST('' AS VARCHAR) AS term, CAST(0 AS BIGINT) AS df_est, "
+        "CAST(0 AS BIGINT) AS df_exact WHERE 1 = 0"
+    ),
     # self-check: HLL UV estimate within 5% of exact per event_type;
     # oracle row set is EMPTY — any violation row fails the gate
     "hll_invariants": (
@@ -1124,6 +1172,7 @@ QUERIES = {
     "ivf_full": q_ivf_full,
     "simhash_invariants": q_simhash_invariants,
     "hll_invariants": q_hll_invariants,
+    "df_invariants": q_df_invariants,
     "heavy_hitters": q_heavy_hitters,
     "hh_invariants": q_hh_invariants,
     "embed_invariants": q_embed_invariants,
