@@ -1,0 +1,86 @@
+"""Resumable partitioned Parquet sink for operator outputs.
+
+A 100-TB pipeline output (filtered corpus, pair lists, per-key rollups)
+must land as many independent shard files so a failed run can skip
+finished partitions — never one giant file (the same rule the index build
+follows with per-partition segments + manifests, ``state/segments.py``,
+mirroring the reference's 1000 bucket files per field,
+docs/build_inverted_index.md:54-87).
+
+Layout: ``out_dir/part-PPPPP.parquet`` + ``out_dir/part-PPPPP.json``
+(row-count/bytes marker, written AFTER the parquet rename — its presence
+certifies the shard). Shard membership is ``hash(key) % P`` and rows are
+sorted by key inside each shard, so file contents are deterministic
+regardless of input block layout, and a resumed run reproduces the
+missing shards bit-identically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from poseidon_ray.functions.hashing import hash_terms
+
+
+def write_partitioned(ds: ray.data.Dataset, out_dir: str, *,
+                      key_col: str = "doc_id",
+                      num_shards: int = 64) -> pa.Table:
+    """Write ``ds`` as ``num_shards`` hash-sharded parquet files with
+    atomic tmp+rename and per-shard completion markers; a rerun skips
+    every shard whose marker exists. Returns the manifest (one row per
+    shard: shard, path, rows, skipped)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        h = hash_terms(t[key_col]) % np.uint64(num_shards)
+        return t.append_column("_oshard", pa.array(h.astype(np.int64)))
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        shard = int(g["_oshard"][0].as_py())
+        final = os.path.join(out_dir, f"part-{shard:05d}.parquet")
+        marker = os.path.join(out_dir, f"part-{shard:05d}.json")
+        if os.path.exists(marker):
+            return pa.table({
+                "shard": pa.array([shard], type=pa.int64()),
+                "path": pa.array([final], type=pa.string()),
+                "rows": pa.array([g.num_rows], type=pa.int64()),
+                "skipped": pa.array([True]),
+            })
+        g = g.drop_columns(["_oshard"])
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        g = g.take(pa.array(np.argsort(keys, kind="stable"),
+                            type=pa.int64()))
+        tmp = final + ".tmp"
+        pq.write_table(g, tmp)
+        os.replace(tmp, final)  # atomic on POSIX
+        with open(marker + ".tmp", "w") as f:
+            json.dump({"shard": shard, "rows": g.num_rows,
+                       "bytes": os.path.getsize(final)}, f)
+        os.replace(marker + ".tmp", marker)
+        return pa.table({
+            "shard": pa.array([shard], type=pa.int64()),
+            "path": pa.array([final], type=pa.string()),
+            "rows": pa.array([g.num_rows], type=pa.int64()),
+            "skipped": pa.array([False]),
+        })
+
+    out = ds.map_batches(add_shard, batch_format="pyarrow") \
+        .groupby("_oshard").map_groups(write_shard, batch_format="pyarrow")
+    tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    manifest = pa.concat_tables(tbls).sort_by("shard") if tbls \
+        else pa.table({"shard": pa.array([], type=pa.int64()),
+                       "path": pa.array([], type=pa.string()),
+                       "rows": pa.array([], type=pa.int64()),
+                       "skipped": pa.array([], type=pa.bool_())})
+    with open(os.path.join(out_dir, "_manifest.json.tmp"), "w") as f:
+        json.dump({"num_shards": num_shards, "key_col": key_col,
+                   "shards_written": manifest.num_rows}, f)
+    os.replace(os.path.join(out_dir, "_manifest.json.tmp"),
+               os.path.join(out_dir, "_manifest.json"))
+    return manifest
