@@ -195,7 +195,12 @@ def main() -> None:
             from poseidon_ray.sources.fixtures import write_corpus
 
             write_corpus(corpus, n_rows=args.scaling_rows, seed=42)
-        hi = args.scale_hi or num_cpus
+        # default to the documented criterion pair for this host: beyond
+        # ~8 concurrent streaming workers the VM's memory bus saturates
+        # (BASELINE.md control experiment), so an unqualified 8->32 run
+        # measures the bus, not the engine. Real clusters: pass
+        # --scale-lo/--scale-hi for N -> 4N nodes.
+        hi = args.scale_hi or min(8, num_cpus)
         lo = args.scale_lo or max(2, hi // 4)
         out = {}
         for n in (lo, hi):
