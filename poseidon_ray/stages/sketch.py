@@ -31,8 +31,6 @@ from poseidon_ray.functions.hashing import hash_terms
 
 N_SKETCH_SHARDS = 256  # coarse merge-shard count — O(shards) Python calls
 
-_MIX = np.uint64(0x9E3779B97F4A7C15)
-
 
 def _alpha(m: int) -> float:
     if m >= 128:
