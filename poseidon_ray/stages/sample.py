@@ -25,12 +25,16 @@ import ray.data
 
 
 def _bucket_u32(values, salt: str) -> np.ndarray:
-    """uint32 from the first 4 sha256 bytes of ``salt + str(value)``."""
+    """uint32 from the first 4 sha256 bytes of ``salt + str(value)``.
+
+    The per-row hashlib call IS the contract (DuckDB's sha256 must see the
+    identical input), but the int parse is vectorized: all digest prefixes
+    land in one buffer and decode in a single big-endian frombuffer view
+    (r3 VERDICT #3)."""
     s = salt.encode()
-    return np.fromiter(
-        (int.from_bytes(hashlib.sha256(s + str(v).encode()).digest()[:4],
-                        "big") for v in values),
-        dtype=np.uint32, count=len(values))
+    d = b"".join(hashlib.sha256(s + str(v).encode()).digest()[:4]
+                 for v in values)
+    return np.frombuffer(d, dtype=">u4").astype(np.uint32)
 
 
 def deterministic_sample(ds: ray.data.Dataset, frac: float, *,
