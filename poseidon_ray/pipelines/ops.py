@@ -26,6 +26,7 @@ import ray
 import ray.data
 
 from poseidon_ray.functions import textstats
+from poseidon_ray.functions.vec import vectors_from_arrow
 from poseidon_ray.pipelines.build import build_index
 from poseidon_ray.pipelines.query import Searcher
 from poseidon_ray.schema import IndexSpec
@@ -489,7 +490,7 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
     head = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     mask = pc.less(head["vec_id"], N_ANN_QUERIES)
     qtab = head.filter(mask)
-    queries = np.stack(qtab["embedding"].to_pylist()).astype(np.float64)
+    queries = vectors_from_arrow(qtab["embedding"])
     qids = qtab["vec_id"].to_numpy(zero_copy_only=False)
     out = ann.brute_force_topk(ds, queries, qids, k=ANN_K)
     return out.select(["query_id", "vec_id", "rank"])
@@ -662,7 +663,7 @@ def q_embed_invariants(sf_dir: str) -> pa.Table:
     pairs = q_embed_neardup(sf_dir)
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     ids = emb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    vecs = np.stack(emb["embedding"].to_pylist()).astype(np.float64)
+    vecs = vectors_from_arrow(emb["embedding"])
     order = np.argsort(ids)
     ids_s, vecs = ids[order], vecs[order]
     norms = np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -738,7 +739,7 @@ def _ivf_index_dir(sf_dir: str, n_clusters: int = 16) -> str:
 def _ann_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     head = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     qtab = head.filter(pc.less(head["vec_id"], N_ANN_QUERIES))
-    queries = np.stack(qtab["embedding"].to_pylist()).astype(np.float64)
+    queries = vectors_from_arrow(qtab["embedding"])
     qids = qtab["vec_id"].to_numpy(zero_copy_only=False)
     return queries, qids
 

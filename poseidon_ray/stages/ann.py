@@ -29,6 +29,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from poseidon_ray.functions.vec import vectors_from_arrow
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -95,7 +97,7 @@ def brute_force_topk(ds: ray.data.Dataset, queries: np.ndarray,
 
     def score_batch(t: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        vecs = _normalize(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+        vecs = _normalize(vectors_from_arrow(t[vec_col]))
         ids = t[id_col].to_numpy(zero_copy_only=False)
         return _batch_topk_table(q @ vecs.T, ids, qid, k)
 
@@ -120,7 +122,7 @@ def train_centroids(ds: ray.data.Dataset, n_clusters: int, *, dim: int,
     by BOTH a fraction and an absolute row cap — the training set never
     scales past ``max_sample`` regardless of corpus size."""
     sample = ds.random_sample(sample_frac, seed=seed).limit(max_sample)
-    mats = [np.stack(b[vec_col].to_pylist())
+    mats = [vectors_from_arrow(b[vec_col])
             for b in sample.iter_batches(batch_format="pyarrow")
             if b.num_rows]
     x = _normalize(np.concatenate(mats).astype(np.float64))
@@ -173,7 +175,7 @@ def build_ivf(ds: ray.data.Dataset, out_dir: str, *, n_clusters: int = 16,
 
     def assign(t: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
-        unit = _normalize(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+        unit = _normalize(vectors_from_arrow(t[vec_col]))
         cl = np.argmax(unit @ c.T, axis=1).astype(np.int64)
         return pa.table({
             "cluster": pa.array(cl),
@@ -247,7 +249,7 @@ def ivf_search(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
     def score_batch(t: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
         pr = ray.get(probes_ref)
-        vecs = _normalize(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+        vecs = _normalize(vectors_from_arrow(t[vec_col]))
         ids = t[id_col].to_numpy(zero_copy_only=False)
         clusters = t["cluster"].to_numpy(zero_copy_only=False)
         out = []

@@ -27,6 +27,7 @@ from poseidon_ray.functions import minhash as mh
 from poseidon_ray.functions import textstats
 from poseidon_ray.functions.hashing import sha256_column
 from poseidon_ray.functions.tokenize import tokenize_simple
+from poseidon_ray.functions.vec import vectors_from_arrow
 
 
 # ------------------------------------------------------------------ exact
@@ -867,7 +868,7 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, *, dim: int,
     planes_ref = ray.put(planes)
 
     def _unit(t: pa.Table) -> np.ndarray:
-        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        vecs = vectors_from_arrow(t[vec_col])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         return vecs / norms
@@ -934,7 +935,7 @@ def cosine_pairs_exact(ds: ray.data.Dataset, *, min_cosine: float,
     for ANN)."""
 
     def cell_rows(t: pa.Table) -> pa.Table:
-        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        vecs = vectors_from_arrow(t[vec_col])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
