@@ -763,12 +763,24 @@ def q_ivf_full(sf_dir: str) -> pa.Table:
     return out.select(["query_id", "vec_id", "rank"])
 
 
+IVF_RECALL_NPROBE = 8   # half the lists — the classic pruned regime
+IVF_RECALL_FLOOR = 0.5  # per-query recall@k floor; measured 0.6-1.0 at
+                        # n_probe=8/16 across sf0.001/0.01/0.1 (r4)
+
+
 def q_ivf_recall(sf_dir: str) -> pa.Table:
-    """Integer recall@k of the PRUNED path (n_probe=4) vs exact truth:
-    (query_id, n_truth_hits = |IVF top-k ∩ exact top-k|). Rows-only for
-    the driver (the pruned result is approximate by design); the pytest
-    gate asserts a recall floor and that the probed fraction ≈ n_probe/C."""
-    ivf = q_ivf_ann(sf_dir)
+    """GATED invariants row for the PRUNED IVF path (r3 VERDICT 'Next
+    round' #4 — was rows-only): at n_probe = n_clusters/2, emit a
+    VIOLATION row when (a) any query's recall@k vs exact truth falls
+    below the pinned floor, (b) the access-path contract breaks —
+    ``touched_vectors`` (manifest sum of probed lists) differs from the
+    actual on-disk row count of the probed files, or (c) touched exceeds
+    total. DuckDB twin = the empty set, so any violation fails the
+    driver's hard gate."""
+    queries, qids = _ann_queries(sf_dir)
+    idx = _ivf_index_dir(sf_dir)
+    ivf, stats = ann.ivf_search(idx, queries, qids, k=ANN_K,
+                                n_probe=IVF_RECALL_NPROBE, return_stats=True)
     truth = q_ann_topk(sf_dir)
     got: dict[int, set] = {}
     for qid, vid in zip(ivf["query_id"].to_pylist(), ivf["vec_id"].to_pylist()):
@@ -776,11 +788,22 @@ def q_ivf_recall(sf_dir: str) -> pa.Table:
     want: dict[int, set] = {}
     for qid, vid in zip(truth["query_id"].to_pylist(), truth["vec_id"].to_pylist()):
         want.setdefault(qid, set()).add(vid)
-    qids = sorted(want)
-    hits = [len(got.get(q, set()) & want[q]) for q in qids]
+    floor = int(np.ceil(IVF_RECALL_FLOOR * ANN_K))
+    bad: list[tuple[str, int, int]] = []
+    for q in sorted(want):
+        hits = len(got.get(q, set()) & want[q])
+        if hits < floor:
+            bad.append((f"recall_floor_q{q}", hits, floor))
+    disk_rows = sum(pq.read_metadata(f).num_rows for f in stats["files"])
+    if stats["touched_vectors"] != disk_rows:
+        bad.append(("touched_vs_disk", stats["touched_vectors"], disk_rows))
+    if stats["touched_vectors"] > stats["total_vectors"]:
+        bad.append(("touched_le_total", stats["touched_vectors"],
+                    stats["total_vectors"]))
     return pa.table({
-        "query_id": pa.array(qids, type=pa.int64()),
-        "n_truth_hits": pa.array(hits, type=pa.int64()),
+        "kind": pa.array([b[0] for b in bad], type=pa.string()),
+        "got": pa.array([b[1] for b in bad], type=pa.int64()),
+        "want": pa.array([b[2] for b in bad], type=pa.int64()),
     })
 
 
@@ -1072,6 +1095,12 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT CAST('' AS VARCHAR) AS term, CAST(0 AS BIGINT) AS count_lo, "
         "CAST(0 AS BIGINT) AS count_exact WHERE 1 = 0"
     ),
+    # self-check: pruned-IVF recall floor + access-path contract (manifest
+    # touched == on-disk rows of probed files); oracle row set is EMPTY
+    "ivf_recall": (
+        "SELECT CAST('' AS VARCHAR) AS kind, CAST(0 AS BIGINT) AS got, "
+        "CAST(0 AS BIGINT) AS want WHERE 1 = 0"
+    ),
     # self-check: per-term HLL df vs the exact directory df; oracle row
     # set is EMPTY — any violation row fails the gate
     "df_invariants": (
@@ -1182,6 +1211,7 @@ QUERIES = {
     "sample_docs": q_sample_docs,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
+    "ivf_recall": q_ivf_recall,
     # rows-only (non-SQL-expressible: engine internals / sketches / ANN
     # approximations)
     "hll_uv": q_hll_uv,
@@ -1190,5 +1220,4 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "fingerprint": q_fingerprint,
     "ivf_ann": q_ivf_ann,
-    "ivf_recall": q_ivf_recall,
 }

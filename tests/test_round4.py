@@ -1,0 +1,179 @@
+"""Round-4 additions: vectorized pair-verify kernel, hash-only exact
+dedup, zero-copy embedding ingestion, IVF skew guard + content
+fingerprint, gated ivf_recall."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+class TestPairIntersectKernel:
+    """dedup._pair_intersect_sizes — the vectorized exact-Jaccard verify
+    kernel (r3 VERDICT 'Next round' #1). Property: equal to per-pair
+    np.intersect1d on every path (doc-grouped, b-grouped, padded batch),
+    including empty sets and a real hash equal to the pad value."""
+
+    def _pack(self, docs):
+        lens = np.array([len(d) for d in docs], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        nonempty = [d for d in docs if len(d)]
+        buf = np.concatenate(nonempty) if nonempty else np.empty(0, np.uint64)
+        return lens, offs, buf
+
+    def test_matches_bruteforce_all_paths(self):
+        from poseidon_ray.stages import dedup
+
+        rng = np.random.default_rng(7)
+        docs = [np.unique(rng.integers(0, 400, rng.integers(0, 60))
+                          .astype(np.uint64)) for _ in range(120)]
+        # pad-value collision in both members of pair 0
+        docs[3] = np.unique(np.append(docs[3], dedup._PAD))
+        docs[4] = np.unique(np.append(docs[4], dedup._PAD))
+        lens, offs, buf = self._pack(docs)
+        # clustered pairs (doc-grouped path) + isolated pairs (padded path)
+        ia = np.concatenate([np.zeros(30, np.int64),
+                             rng.integers(0, 120, 200),
+                             np.arange(10, 60, 2)]).astype(np.int64)
+        ib = np.concatenate([rng.integers(1, 120, 30),
+                             rng.integers(0, 120, 200),
+                             np.arange(11, 61, 2)]).astype(np.int64)
+        ia[0], ib[0] = 3, 4
+        got = dedup._pair_intersect_sizes(lens, offs, buf, ia, ib)
+        want = np.array([len(np.intersect1d(docs[a], docs[b],
+                                            assume_unique=True))
+                         for a, b in zip(ia, ib)])
+        np.testing.assert_array_equal(got, want)
+
+    def test_chunking_invariance(self):
+        from poseidon_ray.stages import dedup
+
+        rng = np.random.default_rng(11)
+        docs = [np.unique(rng.integers(0, 100, rng.integers(1, 40))
+                          .astype(np.uint64)) for _ in range(50)]
+        lens, offs, buf = self._pack(docs)
+        ia = rng.integers(0, 50, 500).astype(np.int64)
+        ib = rng.integers(0, 50, 500).astype(np.int64)
+        base = dedup._pair_intersect_sizes(lens, offs, buf, ia, ib)
+        saved = dedup._VERIFY_CHUNK_ELEMS
+        try:
+            dedup._VERIFY_CHUNK_ELEMS = 64  # force many tiny batches
+            tiny = dedup._pair_intersect_sizes(lens, offs, buf, ia, ib)
+        finally:
+            dedup._VERIFY_CHUNK_ELEMS = saved
+        np.testing.assert_array_equal(base, tiny)
+
+
+class TestVectorsFromArrow:
+    def test_list_and_fixed_size_list_and_slices(self):
+        from poseidon_ray.functions.vec import vectors_from_arrow
+
+        rng = np.random.default_rng(0)
+        mat = rng.standard_normal((64, 8)).astype(np.float32)
+        cols = [
+            pa.array(list(mat), type=pa.list_(pa.float32())),
+            pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel()), 8),
+        ]
+        for col in cols:
+            np.testing.assert_allclose(vectors_from_arrow(col), mat)
+            np.testing.assert_allclose(
+                vectors_from_arrow(col.slice(5, 20)), mat[5:25])
+            np.testing.assert_allclose(
+                vectors_from_arrow(pa.chunked_array([col, col]))[64:], mat)
+
+    def test_rejects_ragged_and_null(self):
+        from poseidon_ray.functions.vec import vectors_from_arrow
+
+        with pytest.raises(ValueError):
+            vectors_from_arrow(
+                pa.array([[1.0], [1.0, 2.0]], type=pa.list_(pa.float64())))
+        with pytest.raises(ValueError):
+            vectors_from_arrow(
+                pa.array([[1.0], None], type=pa.list_(pa.float64())))
+        with pytest.raises(TypeError):
+            vectors_from_arrow(pa.array([1.0, 2.0]))
+
+
+class TestExactDedupHashOnly:
+    def test_shuffle_equals_broadcast_and_keeps_schema(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages.dedup import exact_dedup
+
+        t = pa.table({
+            "doc_id": pa.array(range(40), type=pa.int64()),
+            "text": pa.array([f"body {i % 7}" for i in range(40)]),
+            "extra": pa.array([i * 2 for i in range(40)]),
+        })
+        ds = ray.data.from_arrow(t).repartition(5)
+        a = exact_dedup(ds, strategy="shuffle").to_pandas()
+        b = exact_dedup(ds, strategy="broadcast").to_pandas()
+        assert sorted(a.doc_id) == sorted(b.doc_id) == list(range(7))
+        assert set(a.columns) == {"doc_id", "text", "extra"}
+
+
+class TestIVFSkewGuard:
+    """r3 VERDICT 'Next round' #8: a 90%-one-cluster skew must split into
+    bounded files, with probed-read semantics (and full-probe == brute
+    force) unchanged."""
+
+    @pytest.fixture()
+    def skewed(self, ray_session, tmp_path):
+        import ray.data
+
+        rng = np.random.default_rng(3)
+        hot = rng.standard_normal(16) * 3
+        cold = -hot
+        vecs = [hot + rng.standard_normal(16) * 0.05 if i % 10 else
+                cold + rng.standard_normal(16) * 0.05 for i in range(1000)]
+        t = pa.table({
+            "vec_id": pa.array(range(1000), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  type=pa.list_(pa.float64())),
+        })
+        return ray.data.from_arrow(t), np.stack(vecs), str(tmp_path / "ivf")
+
+    def test_hot_list_splits_and_results_unchanged(self, skewed):
+        import pyarrow.parquet as pq
+
+        from poseidon_ray.stages import ann
+
+        ds, vecs, out = skewed
+        man = ann.build_ivf(ds, out, n_clusters=2, seed=1,
+                            max_rows_per_file=200)
+        assert sum(e["rows"] for e in man["lists"].values()) == 1000
+        max_file = max(pq.read_metadata(p).num_rows
+                       for e in man["lists"].values() for p in e["paths"])
+        assert max_file <= 200
+        # every oversized list splits into exactly ceil(rows/cap) files
+        for e in man["lists"].values():
+            assert len(e["paths"]) == -(-e["rows"] // 200)
+        assert max(len(e["paths"]) for e in man["lists"].values()) >= 2
+        q, qids = vecs[:3], np.arange(3)
+        full = ann.ivf_search(out, q, qids, k=5, n_probe=2).to_pandas()
+        brute = ann.brute_force_topk(ds, q, qids, k=5).to_pandas()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(full, brute)
+
+    def test_fingerprint_invalidates_stale_manifest(self, skewed):
+        import ray.data
+
+        from poseidon_ray.stages import ann
+
+        ds, vecs, out = skewed
+        m1 = ann.build_ivf(ds, out, n_clusters=2, seed=1)
+        # same row count, same first row, different ids -> must rebuild
+        t = pa.table({
+            "vec_id": pa.array([0] + [i + 5000 for i in range(1, 1000)],
+                               type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  type=pa.list_(pa.float64())),
+        })
+        mutated = ray.data.from_arrow(t)
+        m2 = ann.build_ivf(mutated, out, n_clusters=2, seed=1)
+        assert m2["id_fp"] != m1["id_fp"]
+        # and an identical dataset is a no-op fast path
+        m3 = ann.build_ivf(mutated, out, n_clusters=2, seed=1)
+        assert m3 == m2
