@@ -395,6 +395,66 @@ def q_hh_invariants(sf_dir: str) -> pa.Table:
     })
 
 
+QUANTILE_PCTS = (1, 10, 25, 50, 75, 90, 99)
+
+
+def q_quantiles(sf_dir: str) -> pa.Table:
+    """Doc-length percentiles through the distributed t-digest in its
+    EXACT regime (compression >= distinct lengths -> every compression
+    level is lossless; the analog of heavy_hitters' exact regime): the
+    value at integer rank (pct*N + 99) // 100 — rank arithmetic is pure
+    int64 on both sides, so the DuckDB rank twin matches value-for-value.
+    The approximate regime is gated by ``quantile_invariants``."""
+    from poseidon_ray.stages import sketch
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["n_chars"])
+    m, w = sketch.tdigest_centroids(ds, "n_chars", compression=1_000_000)
+    n = int(w.sum())
+    ranks = [(p * n + 99) // 100 for p in QUANTILE_PCTS]
+    vals = sketch.quantile_at_rank(m, w, ranks)
+    return pa.table({
+        "pct": pa.array(QUANTILE_PCTS, type=pa.int64()),
+        "value": pa.array(np.rint(vals).astype(np.int64), type=pa.int64()),
+    })
+
+
+def q_quantile_invariants(sf_dir: str) -> pa.Table:
+    """Self-checking oracle row for the APPROXIMATE t-digest regime:
+    compression=64 forces real merge-compression at every level, then
+    each reported percentile's TRUE rank window (ties included) must
+    cover the target rank within eps = max(3, 6*N/compression) — the k0
+    scale function's per-centroid weight bound times the merge depth,
+    with margin. Also checks total weight == N. Violations out; DuckDB
+    twin = the empty set."""
+    from poseidon_ray.stages import sketch
+
+    comp = 64
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["n_chars"])
+    m, w = sketch.tdigest_centroids(ds, "n_chars", compression=comp)
+    exact = np.sort(pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["n_chars"])["n_chars"].to_numpy(zero_copy_only=False))
+    n = int(w.sum())
+    bad: list[tuple[int, int, int]] = []
+    if n != len(exact):
+        bad.append((-1, n, len(exact)))
+    eps = max(3, (6 * n) // comp)
+    ranks = [(p * n + 99) // 100 for p in QUANTILE_PCTS]
+    vals = sketch.quantile_at_rank(m, w, ranks)
+    for p, target, v in zip(QUANTILE_PCTS, ranks, vals):
+        lo = int(np.searchsorted(exact, v, side="left"))
+        hi = int(np.searchsorted(exact, v, side="right"))
+        if not (lo - eps <= target <= hi + eps):
+            bad.append((p, int(np.rint(v)), target))
+    return pa.table({
+        "pct": pa.array([b[0] for b in bad], type=pa.int64()),
+        "got": pa.array([b[1] for b in bad], type=pa.int64()),
+        "want": pa.array([b[2] for b in bad], type=pa.int64()),
+    })
+
+
 def q_df_invariants(sf_dir: str) -> pa.Table:
     """Sketch-composition self-check: per-term APPROXIMATE document
     frequency via per-key HLL over the flat (term, doc) stream (p=13,
@@ -1095,6 +1155,23 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT CAST('' AS VARCHAR) AS term, CAST(0 AS BIGINT) AS count_lo, "
         "CAST(0 AS BIGINT) AS count_exact WHERE 1 = 0"
     ),
+    # t-digest doc-length percentiles, exact regime: value at integer
+    # rank (pct*N + 99) // 100 — int64 rank arithmetic on both sides
+    "quantiles": (
+        "WITH qs(pct) AS (VALUES (1), (10), (25), (50), (75), (90), (99)), "
+        "s AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS r, "
+        "count(*) OVER () AS n FROM documents) "
+        "SELECT CAST(pct AS BIGINT) AS pct, "
+        "CAST(min(n_chars) AS BIGINT) AS value "
+        "FROM qs JOIN s ON s.r >= (pct * s.n + 99) // 100 "
+        "GROUP BY pct ORDER BY pct"
+    ),
+    # self-check: approximate-regime t-digest rank bounds; oracle row set
+    # is EMPTY — any violation row fails the gate
+    "quantile_invariants": (
+        "SELECT CAST(0 AS BIGINT) AS pct, CAST(0 AS BIGINT) AS got, "
+        "CAST(0 AS BIGINT) AS want WHERE 1 = 0"
+    ),
     # self-check: pruned-IVF recall floor + access-path contract (manifest
     # touched == on-disk rows of probed files); oracle row set is EMPTY
     "ivf_recall": (
@@ -1212,6 +1289,8 @@ QUERIES = {
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "ivf_recall": q_ivf_recall,
+    "quantiles": q_quantiles,
+    "quantile_invariants": q_quantile_invariants,
     # rows-only (non-SQL-expressible: engine internals / sketches / ANN
     # approximations)
     "hll_uv": q_hll_uv,

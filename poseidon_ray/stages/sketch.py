@@ -141,6 +141,125 @@ def hll_count_distinct(ds: ray.data.Dataset, val_col: str, *,
     return int(np.rint(_estimate(regs[None, :])[0]))
 
 
+# ------------------------------------------------------------ quantiles
+
+def _combine_equal(means: np.ndarray, weights: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Merge centroids with EQUAL means (input sorted by mean) — lossless,
+    so the exact regime survives any number of merge levels."""
+    if len(means) == 0:
+        return means, weights
+    starts = np.flatnonzero(np.concatenate(
+        [[True], means[1:] != means[:-1]]))
+    return means[starts], np.add.reduceat(weights, starts)
+
+
+def _compress_centroids(means: np.ndarray, weights: np.ndarray,
+                        compression: int) -> tuple[np.ndarray, np.ndarray]:
+    """t-digest merge-compression with the uniform (k0) scale function
+    (Dunning & Ertl, public algorithm): adjacent sorted centroids group
+    into ``compression`` equal-weight buckets by midpoint cumulative
+    weight; each bucket becomes one weighted-mean centroid of weight
+    <= ~2*total/compression, bounding the within-centroid rank
+    uncertainty. LOSSLESS when <= ``compression`` distinct means remain
+    after equal-mean combining — the exact regime the `quantiles` oracle
+    runs in."""
+    means, weights = _combine_equal(means, weights)
+    if len(means) <= compression:
+        return means, weights
+    total = weights.sum()
+    mid = np.cumsum(weights) - weights / 2.0
+    bucket = np.floor(mid * compression / total).astype(np.int64)
+    starts = np.flatnonzero(np.concatenate(
+        [[True], bucket[1:] != bucket[:-1]]))
+    w = np.add.reduceat(weights, starts)
+    m = np.add.reduceat(means * weights, starts) / w
+    return m, w.astype(np.int64)
+
+
+def tdigest_centroids(ds: ray.data.Dataset, col: str, *,
+                      compression: int = 256,
+                      num_shards: int = 32
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed t-digest over a numeric column -> (means, weights),
+    sorted by mean, <= ``compression`` centroids.
+
+    Scale shape (merged coarse-sharded like HLL): every block emits
+    <= compression (mean, weight) rows regardless of row count; a coarse
+    shard groupby merge-compresses blockwise partials so the driver sees
+    <= num_shards x compression rows, never one row per value. Rank error
+    after the two merge levels is bounded by a small multiple of
+    N/compression (gated by the ``quantile_invariants`` oracle row); with
+    <= compression distinct values the sketch is EXACT at every level.
+    """
+    if compression < 8:
+        raise ValueError("compression must be >= 8")
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.isnan(v).any():
+            raise ValueError(f"column {col} contains NaN")
+        v = np.sort(v)
+        m, w = _compress_centroids(v, np.ones(len(v), dtype=np.int64),
+                                   compression)
+        # shard by the block's value fingerprint: deterministic for a
+        # given block layout, spreads partials across merge groups
+        sh = int(hash_terms(pa.array([f"{len(m)}:{m[0] if len(m) else 0}"]))
+                 [0] % np.uint64(num_shards))
+        return pa.table({
+            "_shard": pa.array(np.full(len(m), sh, dtype=np.int64)),
+            "mean": pa.array(m, type=pa.float64()),
+            "weight": pa.array(w, type=pa.int64()),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        m = g["mean"].to_numpy(zero_copy_only=False)
+        w = g["weight"].to_numpy(zero_copy_only=False)
+        order = np.argsort(m, kind="stable")
+        m, w = _compress_centroids(m[order], w[order], compression)
+        return pa.table({"mean": pa.array(m, type=pa.float64()),
+                         "weight": pa.array(w, type=pa.int64())})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_shard").map_groups(merge, batch_format="pyarrow")
+    rows = merged.take_all()
+    if not rows:
+        return np.empty(0, np.float64), np.empty(0, np.int64)
+    m = np.array([r["mean"] for r in rows], dtype=np.float64)
+    w = np.array([r["weight"] for r in rows], dtype=np.int64)
+    order = np.argsort(m, kind="stable")
+    return _compress_centroids(m[order], w[order], compression)
+
+
+def quantile_at_rank(means: np.ndarray, weights: np.ndarray,
+                     ranks) -> np.ndarray:
+    """Discrete quantile per target rank (1-based): the first centroid
+    whose cumulative weight reaches the rank. In the exact regime
+    (singleton centroids) this IS the order statistic; in the compressed
+    regime it is the centroid mean covering that rank."""
+    cum = np.cumsum(weights)
+    r = np.asarray(ranks, dtype=np.int64)
+    if len(means) == 0:
+        return np.full(len(r), np.nan)
+    idx = np.minimum(np.searchsorted(cum, np.maximum(r, 1), side="left"),
+                     len(means) - 1)
+    return means[idx]
+
+
+def tdigest_quantiles(ds: ray.data.Dataset, col: str, qs, *,
+                      compression: int = 256,
+                      num_shards: int = 32) -> pa.Table:
+    """(q, value) quantile estimates of ``col`` via the distributed
+    t-digest; rank = ceil(q * N)."""
+    m, w = tdigest_centroids(ds, col, compression=compression,
+                             num_shards=num_shards)
+    total = int(w.sum()) if len(w) else 0
+    ranks = [int(np.ceil(q * total)) for q in qs]
+    vals = quantile_at_rank(m, w, ranks)
+    return pa.table({"q": pa.array(list(qs), type=pa.float64()),
+                     "value": pa.array(vals, type=pa.float64())})
+
+
 # ------------------------------------------------------------ heavy hitters
 
 def heavy_hitters(ds: ray.data.Dataset, *, k: int = 50,
