@@ -236,19 +236,14 @@ def q_quality_stats(sf_dir: str) -> pa.Table:
 def q_events_pv(sf_dir: str) -> pa.Table:
     """PV/UV per event_type (the reference's pv/uv sentinel semantics A5:
     pv = occurrence count, uv = distinct users — which the reference stubs
-    to 0; here it's real)."""
+    to 0; here it's real). Fully distributed two-level combine
+    (stages/events.pv_uv): the driver sums shards x types partial rows
+    and never materializes a distinct-pair table (r3 VERDICT #7)."""
+    from poseidon_ray.stages.events import pv_uv
+
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_type", "user_id"])
-    pv = ds.groupby("event_type").count().to_pandas().rename(
-        columns={"count()": "pv"})
-    distinct = ds.groupby(["event_type", "user_id"]).count().to_pandas()
-    uv = distinct.groupby("event_type", as_index=False).size().rename(
-        columns={"size": "uv"})
-    merged = pv.merge(uv, on="event_type").sort_values("event_type")
-    merged["pv"] = merged["pv"].astype("int64")
-    merged["uv"] = merged["uv"].astype("int64")
-    return pa.Table.from_pandas(merged[["event_type", "pv", "uv"]],
-                                preserve_index=False)
+    return pv_uv(ds)
 
 
 def q_events_window(sf_dir: str) -> pa.Table:

@@ -113,6 +113,28 @@ class TestExactDedupHashOnly:
         assert set(a.columns) == {"doc_id", "text", "extra"}
 
 
+class TestDistributedPvUv:
+    def test_matches_pandas_and_layout_invariant(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from poseidon_ray.stages.events import pv_uv
+
+        rng = np.random.default_rng(5)
+        t = pa.table({
+            "event_type": pa.array([f"t{i % 4}" for i in
+                                    rng.integers(0, 4, 3000)]),
+            "user_id": pa.array(rng.integers(0, 200, 3000), type=pa.int64()),
+        })
+        df = t.to_pandas()
+        want = df.groupby("event_type").agg(
+            pv=("user_id", "size"), uv=("user_id", "nunique")).reset_index()
+        for parts in (2, 13):
+            got = pv_uv(ray.data.from_arrow(t).repartition(parts)).to_pandas()
+            pd.testing.assert_frame_equal(
+                got.reset_index(drop=True), want, check_dtype=False)
+
+
 class TestTDigest:
     """stages/sketch t-digest: lossless exact regime, bounded approximate
     regime, layout invariance of the exact regime."""
