@@ -609,7 +609,8 @@ class MinHashStage:
 
 def _bucket_candidate_pairs(bucket_rows: ray.data.Dataset,
                             max_bucket: int | None,
-                            pair_cols_fn=None) -> ray.data.Dataset:
+                            pair_cols_fn=None,
+                            require_new: bool = False) -> ray.data.Dataset:
     """(doc_a, doc_b[, extra cols]) candidate pairs from bucket
     co-membership, unique PER SHARD (a pair may still surface from buckets
     in different shards — downstream dedup handles copies): per coarse
@@ -618,7 +619,12 @@ def _bucket_candidate_pairs(bucket_rows: ray.data.Dataset,
 
     ``pair_cols_fn(a, b) -> (a, b, {col: array})``: optional in-group
     enrichment/filter hook (e.g. broadcast-signature est) — called on the
-    per-shard-unique pairs, may drop pairs."""
+    per-shard-unique pairs, may drop pairs.
+
+    ``require_new``: incremental mode — rows carry an ``is_new`` column
+    and only pairs touching >= 1 new doc are emitted (old-old pairs were
+    emitted by the run that introduced them; union over runs == full run,
+    pinned by tests)."""
 
     def _mk(a: np.ndarray, b: np.ndarray, cols: dict) -> pa.Table:
         return pa.table({"doc_a": pa.array(a, type=pa.int64()),
@@ -637,9 +643,16 @@ def _bucket_candidate_pairs(bucket_rows: ray.data.Dataset,
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, buckets))
         buckets, ids = buckets[order], ids[order]
+        if require_new:
+            is_new = g["is_new"].to_numpy(zero_copy_only=False)[order]
         ia, ib = _shard_pair_indices(buckets, max_bucket)
         if len(ia) == 0:
             return _finish(e64, e64)
+        if require_new:
+            touches_new = is_new[ia] | is_new[ib]
+            ia, ib = ia[touches_new], ib[touches_new]
+            if len(ia) == 0:
+                return _finish(e64, e64)
         a, b = ids[ia].astype(np.int64), ids[ib].astype(np.int64)
         neq = a != b
         a, b = a[neq], b[neq]
@@ -751,6 +764,148 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, num_perm: int = 128,
     return _routed_pair_apply(sig_ds, cand, est_fn,
                               {"est_jaccard": pa.float64()},
                               broadcast_payload_bytes=bcast)
+
+
+# -------------------------------------------------- incremental minhash
+
+def _minhash_state_path(state_dir: str) -> str:
+    import os
+
+    return os.path.join(state_dir, "minhash_state.json")
+
+
+def minhash_index_add(ds_new: ray.data.Dataset, state_dir: str, *,
+                      num_perm: int = 128, bands: int = 32,
+                      shingle_k: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text", min_jaccard: float = 0.5,
+                      max_bucket: int | None = 256,
+                      concurrency=(1, 8)) -> ray.data.Dataset:
+    """INCREMENTAL near-dup generations (r3 VERDICT 'Next round' #5): add
+    a new corpus shard to a persisted MinHash band-row store and return
+    only the candidate pairs that involve >= 1 new doc. Signatures are
+    computed ONCE per doc ever — a grown corpus re-signs only its delta,
+    the reference's middle/ re-ingest design (the next day's mapper
+    re-keys the previous reduce output instead of re-tokenizing it,
+    builder InvertedIndexGenerateMapper.java:133-152).
+
+    State layout (all atomic + resumable):
+        state_dir/gen-NNNNN/            keys-only band rows + one
+                                        signature row per doc, written by
+                                        the hash-sharded resumable sink
+                                        (sources/sink.write_partitioned)
+        state_dir/minhash_state.json    params + generation list; params
+                                        mismatch raises (same contract as
+                                        the index build's generation
+                                        compat check, pipelines/build.py)
+
+    Union of every run's output == one full run over the grown corpus
+    (bucket membership is a pure per-doc function, so old-old pairs can
+    never appear in a later run) — pinned by tests/test_round4.
+    """
+    import json
+    import os
+
+    from poseidon_ray.sources.sink import write_partitioned
+
+    params = {"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k,
+              "id_col": id_col, "text_col": text_col}
+    os.makedirs(state_dir, exist_ok=True)
+    spath = _minhash_state_path(state_dir)
+    if os.path.exists(spath):
+        with open(spath) as f:
+            state = json.load(f)
+        if state["params"] != params:
+            raise ValueError(
+                f"minhash state {state_dir} was built with "
+                f"{state['params']}; refusing to mix with {params} "
+                "(start a new state_dir)")
+    else:
+        state = {"params": params, "generations": []}
+
+    rows_new = ds_new.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
+                                   shingle_k=shingle_k, id_col=id_col,
+                                   text_col=text_col),
+        batch_format="pyarrow", concurrency=concurrency,
+    ).materialize()
+    gen = len(state["generations"])
+    gen_dir = os.path.join(state_dir, f"gen-{gen:05d}")
+    write_partitioned(rows_new, gen_dir, key_col="doc_id")
+
+    old_dirs = [g["dir"] for g in state["generations"]]
+    if old_dirs:
+        import pyarrow.dataset  # noqa: F401  (glob reads)
+
+        old_files = []
+        for d in old_dirs:
+            old_files.extend(sorted(
+                os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet")))
+        rows_old = ray.data.read_parquet(old_files)
+    else:
+        rows_old = None
+
+    def tag(new: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            flag = np.full(t.num_rows, new, dtype=bool)
+            return pa.table({
+                "shard": t["shard"], "bucket": t["bucket"],
+                "doc_id": t["doc_id"], "sig": t["sig"],
+                "is_new": pa.array(flag),
+            })
+        return fn
+
+    tagged = rows_new.map_batches(tag(True), batch_format="pyarrow")
+    if rows_old is not None:
+        tagged = tagged.union(
+            rows_old.map_batches(tag(False), batch_format="pyarrow"))
+    tagged = tagged.materialize()
+
+    def has_sig(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater(pc.binary_length(t["sig"]), 0)
+        out = t.filter(keep)
+        return pa.table({"doc_id": out["doc_id"], "payload": out["sig"]})
+
+    sig_bytes = num_perm * 4
+    n_docs = tagged.count() // max(bands, 1)
+    key_rows = tagged.select_columns(["shard", "bucket", "doc_id", "is_new"])
+    if n_docs * sig_bytes <= MAX_BROADCAST_PAYLOAD_BYTES:
+        lookup_ref = _collect_payload_lookup(
+            tagged.map_batches(has_sig, batch_format="pyarrow"))
+        out = _dedup_pairs(_bucket_candidate_pairs(
+            key_rows, max_bucket,
+            pair_cols_fn=_make_sig_est(lookup_ref, min_jaccard),
+            require_new=True), ("doc_a", "doc_b"))
+    else:
+        cand = _bucket_candidate_pairs(
+            key_rows, max_bucket, require_new=True).materialize()
+        sig_ds = tagged.map_batches(has_sig, batch_format="pyarrow")
+        sig_ds, members = _materialized_member_filter(
+            sig_ds, cand, id_col="doc_id")
+
+        def est_fn(payloads, ia, ib, a, b):
+            sigs = np.frombuffer(b"".join(payloads), dtype=np.uint32) \
+                .reshape(len(payloads), -1)
+            est = (sigs[ia] == sigs[ib]).mean(axis=1)
+            return {"est_jaccard": est, "_keep": est >= min_jaccard}
+
+        bcast = len(members) * sig_bytes if members is not None else None
+        out = _routed_pair_apply(sig_ds, cand, est_fn,
+                                 {"est_jaccard": pa.float64()},
+                                 broadcast_payload_bytes=bcast)
+
+    out = out.materialize()  # pairs are final before the manifest commits
+    n_band_rows = rows_new.count()
+    state["generations"].append({
+        "dir": gen_dir, "band_rows": n_band_rows,
+        "docs": n_band_rows // max(bands, 1)})
+    with open(spath + ".tmp", "w") as f:
+        json.dump(state, f)
+    os.replace(spath + ".tmp", spath)
+    return out
 
 
 # ------------------------------------------------------------------ simhash

@@ -113,6 +113,68 @@ class TestExactDedupHashOnly:
         assert set(a.columns) == {"doc_id", "text", "extra"}
 
 
+class TestIncrementalMinhash:
+    """dedup.minhash_index_add — persisted band-row generations; the
+    union of every run's pairs must equal one full run over the grown
+    corpus (the reference's middle/ re-ingest contract)."""
+
+    @staticmethod
+    def _mk(ids, texts):
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts),
+        })).repartition(3)
+
+    @staticmethod
+    def _texts(rng, n, base):
+        words = [f"w{j}" for j in range(30)]
+        out = []
+        for i in range(n):
+            k = rng.integers(8, 16)
+            out.append(" ".join(rng.choice(words, size=k)))
+        # salt in exact dup clusters spanning the id range
+        for i in range(0, n, 7):
+            out[i] = "alpha beta gamma delta epsilon zeta"
+        return out
+
+    def test_union_of_runs_equals_full_run(self, ray_session, tmp_path):
+        from poseidon_ray.stages import dedup
+
+        rng = np.random.default_rng(9)
+        t1 = self._texts(rng, 40, 0)
+        t2 = self._texts(rng, 30, 1)
+        params = dict(num_perm=64, bands=16, shingle_k=1,
+                      min_jaccard=0.5, max_bucket=None)
+        full = dedup.minhash_candidate_pairs(
+            self._mk(list(range(70)), t1 + t2), **params).to_pandas()
+        state = str(tmp_path / "mh_state")
+        p1 = dedup.minhash_index_add(
+            self._mk(list(range(40)), t1), state, **params).to_pandas()
+        p2 = dedup.minhash_index_add(
+            self._mk(list(range(40, 70)), t2), state, **params).to_pandas()
+        def key(df):
+            return {(int(a), int(b), round(float(e), 9))
+                    for a, b, e in zip(df.doc_a, df.doc_b, df.est_jaccard)}
+        got = key(p1) | key(p2)
+        want = key(full)
+        assert got == want, (got ^ want)
+        # run 2 must only emit pairs touching the new shard
+        assert all(a >= 40 or b >= 40 for a, b in zip(p2.doc_a, p2.doc_b))
+
+    def test_param_mismatch_refused(self, ray_session, tmp_path):
+        from poseidon_ray.stages import dedup
+
+        state = str(tmp_path / "mh_state2")
+        ds = self._mk([0, 1], ["a b c", "a b c"])
+        dedup.minhash_index_add(ds, state, num_perm=64, bands=16,
+                                shingle_k=1)
+        with pytest.raises(ValueError, match="refusing to mix"):
+            dedup.minhash_index_add(ds, state, num_perm=128, bands=16,
+                                    shingle_k=1)
+
+
 class TestDistributedPvUv:
     def test_matches_pandas_and_layout_invariant(self, ray_session):
         import pandas as pd
