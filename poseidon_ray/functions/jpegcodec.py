@@ -159,10 +159,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while True:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # 0xFF fill bytes are legal padding before any marker (T.81 B.1.1.2)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:                       # EOI
             raise ValueError("JPEG has no scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue                             # TEM / RSTn: no length word
         (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
         seg = payload[pos + 2:pos + seglen]
         if marker == 0xDB:                       # DQT
@@ -219,44 +224,48 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     pred = {c["id"]: 0 for c in comps}
     r = _BitReader(payload, pos)
     mcu_count = 0
-    for my, mx in itertools.product(range(mcuy), range(mcux)):
-        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-            r.byte_align()
-            if payload[r.pos] == 0xFF and 0xD0 <= payload[r.pos + 1] <= 0xD7:
-                r.pos += 2
-            pred = {c["id"]: 0 for c in comps}
-        mcu_count += 1
-        for c in scan:
-            dc_tab = huff[(0, c["td"])]
-            ac_tab = huff[(1, c["ta"])]
-            q = qt[c["tq"]]
-            for by, bx in itertools.product(range(c["v"]), range(c["h"])):
-                coef = np.zeros(64)
-                size = _huff_decode(r, dc_tab)
-                pred[c["id"]] += _extend(r.read(size), size)
-                coef[0] = pred[c["id"]]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(r, ac_tab)
-                    if sym == 0x00:              # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("bad AC symbol")
-                        k += 16                  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient overflow")
-                    coef[k] = _extend(r.read(size), size)
-                    k += 1
-                block = np.zeros(64)
-                block[_ZIGZAG] = coef
-                px = _idct2(block.reshape(8, 8) * q) + 128.0
-                y0 = (my * c["v"] + by) * 8
-                x0 = (mx * c["h"] + bx) * 8
-                planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
+    try:
+        for my, mx in itertools.product(range(mcuy), range(mcux)):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                r.byte_align()
+                if payload[r.pos] == 0xFF and 0xD0 <= payload[r.pos + 1] <= 0xD7:
+                    r.pos += 2
+                pred = {c["id"]: 0 for c in comps}
+            mcu_count += 1
+            for c in scan:
+                dc_tab = huff[(0, c["td"])]
+                ac_tab = huff[(1, c["ta"])]
+                q = qt[c["tq"]]
+                for by, bx in itertools.product(range(c["v"]), range(c["h"])):
+                    coef = np.zeros(64)
+                    size = _huff_decode(r, dc_tab)
+                    pred[c["id"]] += _extend(r.read(size), size)
+                    coef[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        sym = _huff_decode(r, ac_tab)
+                        if sym == 0x00:              # EOB
+                            break
+                        run, size = sym >> 4, sym & 0xF
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            k += 16                  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC coefficient overflow")
+                        coef[k] = _extend(r.read(size), size)
+                        k += 1
+                    block = np.zeros(64)
+                    block[_ZIGZAG] = coef
+                    px = _idct2(block.reshape(8, 8) * q) + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
+    except _MarkerHit as exc:
+        # a non-RST marker inside entropy data == the stream was cut
+        raise ValueError("truncated JPEG stream") from exc
 
     out = []
     for c in comps:

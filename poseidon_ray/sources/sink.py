@@ -41,21 +41,46 @@ def write_partitioned(ds: ray.data.Dataset, out_dir: str, *,
         h = hash_terms(t[key_col]) % np.uint64(num_shards)
         return t.append_column("_oshard", pa.array(h.astype(np.int64)))
 
+    def _sort_rows(g: pa.Table) -> pa.Table:
+        """Deterministic in-shard order: key first, every other column as
+        tiebreak — a repeated key (e.g. several band rows per doc) would
+        otherwise keep shuffle-dependent arrival order and break the
+        bit-identical-resume contract (r3 ADVICE #5). Columns that don't
+        order (nested types) fall back to the stable key-only sort."""
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        tiebreak = []
+        for c in g.column_names:
+            if c == key_col:
+                continue
+            try:
+                arr = g[c].to_numpy(zero_copy_only=False)
+                np.less(arr[:1], arr[:1])  # probe orderability
+                tiebreak.append(arr)
+            except (TypeError, pa.ArrowInvalid):
+                continue
+        try:
+            order = np.lexsort(tuple(reversed(tiebreak)) + (keys,))
+        except TypeError:  # e.g. None mixed into an object column
+            order = np.argsort(keys, kind="stable")
+        return g.take(pa.array(order, type=pa.int64()))
+
     def write_shard(g: pa.Table) -> pa.Table:
         shard = int(g["_oshard"][0].as_py())
         final = os.path.join(out_dir, f"part-{shard:05d}.parquet")
         marker = os.path.join(out_dir, f"part-{shard:05d}.json")
         if os.path.exists(marker):
+            with open(marker) as f:
+                mk = json.load(f)
+            # report what is CERTIFIED on disk, not this run's group size;
+            # flag the divergence so a resume over changed input is loud
             return pa.table({
                 "shard": pa.array([shard], type=pa.int64()),
                 "path": pa.array([final], type=pa.string()),
-                "rows": pa.array([g.num_rows], type=pa.int64()),
+                "rows": pa.array([int(mk["rows"])], type=pa.int64()),
                 "skipped": pa.array([True]),
+                "input_mismatch": pa.array([int(mk["rows"]) != g.num_rows]),
             })
-        g = g.drop_columns(["_oshard"])
-        keys = g[key_col].to_numpy(zero_copy_only=False)
-        g = g.take(pa.array(np.argsort(keys, kind="stable"),
-                            type=pa.int64()))
+        g = _sort_rows(g.drop_columns(["_oshard"]))
         tmp = final + ".tmp"
         pq.write_table(g, tmp)
         os.replace(tmp, final)  # atomic on POSIX
@@ -68,6 +93,7 @@ def write_partitioned(ds: ray.data.Dataset, out_dir: str, *,
             "path": pa.array([final], type=pa.string()),
             "rows": pa.array([g.num_rows], type=pa.int64()),
             "skipped": pa.array([False]),
+            "input_mismatch": pa.array([False]),
         })
 
     out = ds.map_batches(add_shard, batch_format="pyarrow") \
@@ -77,7 +103,8 @@ def write_partitioned(ds: ray.data.Dataset, out_dir: str, *,
         else pa.table({"shard": pa.array([], type=pa.int64()),
                        "path": pa.array([], type=pa.string()),
                        "rows": pa.array([], type=pa.int64()),
-                       "skipped": pa.array([], type=pa.bool_())})
+                       "skipped": pa.array([], type=pa.bool_()),
+                       "input_mismatch": pa.array([], type=pa.bool_())})
     with open(os.path.join(out_dir, "_manifest.json.tmp"), "w") as f:
         json.dump({"num_shards": num_shards, "key_col": key_col,
                    "shards_written": manifest.num_rows}, f)

@@ -1380,13 +1380,22 @@ def connected_components(pairs: ray.data.Dataset, *,
     2. min-reduce: groupby(hash(node) % P) -> per-shard lexsort +
        ``np.minimum.reduceat`` -> new label table.
 
-    Rounds = graph diameter (near-dup components are shallow — exact/LSH
-    clusters are near-cliques, so a handful of rounds); convergence is
-    detected by the monotone label sum (int64 aggregate, no driver table).
-    The label table is ``materialize()``d each round — the iterative-
-    algorithm exception to no-mid-pipeline-materialize: it is O(nodes in
-    pairs) rows, not the corpus, and re-deriving round r's labels lazily
-    would re-execute all prior rounds.
+    Each round the current label table is ALSO fed in as edges
+    (node <-> label): a node reads its label's label (pointer jumping)
+    and the label hears about every node pointing at it — the hash-to-min
+    move, so convergence is O(log n) rounds even on path-shaped
+    components (a chain of successive document revisions), not O(graph
+    diameter) (r3 ADVICE #2; pinned by the 120-link-chain test). The
+    label edges stay within their component by induction (a label is
+    always the min of a reachable subset), so cross-component
+    contamination is impossible. Convergence is detected by the monotone
+    label sum (int64 aggregate, no driver table). The label table is
+    ``materialize()``d each round — the iterative-algorithm exception to
+    no-mid-pipeline-materialize: it is O(nodes in pairs) rows, not the
+    corpus, and re-deriving round r's labels lazily would re-execute all
+    prior rounds. ``max_rounds`` (configurable from
+    ``keep_representatives``) is a runaway backstop ~2^50 nodes deep,
+    not a practical bound.
 
     Granularity: O(num_shards) Python group calls per exchange, never one
     per node (the r2 VERDICT anti-pattern). Payloads are int64 keys only.
@@ -1489,10 +1498,30 @@ def connected_components(pairs: ray.data.Dataset, *,
             })
 
         def tag_lab(t: pa.Table) -> pa.Table:
+            # ONE pass over the label table emits BOTH the label rows and
+            # the pointer-jump edges (node <-> current label: a node reads
+            # label(label(node)) and a label hears its pointers — O(V)
+            # extra rows per round, rounds drop from O(diameter) to
+            # O(log n)). One pass matters beyond economy: consuming the
+            # same materialized dataset from TWO union branches makes the
+            # streaming executor re-run compounding work per round
+            # (measured 4s -> 11s -> 56s round times; single-consumer is
+            # flat ~0.5s).
+            node = t["node"].to_numpy(zero_copy_only=False)
+            lab = t["label"].to_numpy(zero_copy_only=False)
+            nz = node != lab
+            key = np.concatenate([node, node[nz], lab[nz]])
+            other = np.concatenate([np.zeros(len(node), np.int64),
+                                    lab[nz], node[nz]])
+            labcol = np.concatenate([lab, np.zeros(2 * int(nz.sum()),
+                                                   np.int64)])
+            is_lab = np.zeros(len(key), dtype=bool)
+            is_lab[:len(node)] = True
             return pa.table({
-                "shard": t["shard"], "key": t["node"],
-                "other": pa.nulls(t.num_rows, type=pa.int64()),
-                "label": t["label"],
+                "shard": pa.array(_doc_shard_of(key, shards)),
+                "key": pa.array(key, type=pa.int64()),
+                "other": pa.array(other, type=pa.int64(), mask=is_lab),
+                "label": pa.array(labcol, type=pa.int64(), mask=~is_lab),
             })
 
         mixed = adj.map_batches(tag_adj, batch_format="pyarrow").union(
@@ -1508,7 +1537,8 @@ def connected_components(pairs: ray.data.Dataset, *,
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds "
-            f"(graph diameter > {max_rounds}?)")
+            "(with pointer jumping this needs a component ~2^rounds deep "
+            "— raise max_rounds via keep_representatives if real)")
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"], "cluster_rep": t["label"]})
@@ -1608,7 +1638,8 @@ def keep_representatives(ds: ray.data.Dataset, pairs: ray.data.Dataset, *,
                          id_col: str = "doc_id",
                          a_col: str = "doc_a", b_col: str = "doc_b",
                          num_shards: int = N_ROUTE_SHARDS,
-                         concurrency: int = 4) -> ray.data.Dataset:
+                         concurrency: int = 4,
+                         max_rounds: int = 50) -> ray.data.Dataset:
     """End-to-end near-dup corpus filter: pair graph -> connected
     components -> drop every non-representative member (``node !=
     cluster_rep``); docs in no pair pass through untouched. Composes with
@@ -1626,7 +1657,7 @@ def keep_representatives(ds: ray.data.Dataset, pairs: ray.data.Dataset, *,
     training-data engine must drop whole near-duplicate documents.
     """
     cc = connected_components(pairs, a_col=a_col, b_col=b_col,
-                              num_shards=num_shards)
+                              num_shards=num_shards, max_rounds=max_rounds)
 
     def drop_rows(t: pa.Table) -> pa.Table:
         node = t["node"].to_numpy(zero_copy_only=False)

@@ -113,6 +113,40 @@ class TestExactDedupHashOnly:
         assert set(a.columns) == {"doc_id", "text", "extra"}
 
 
+class TestCCPointerJumping:
+    def test_long_chain_converges(self, ray_session):
+        """A 64-link revision chain has diameter 64 — plain min-label
+        propagation needs 64 rounds (> the 50-round backstop and the old
+        RuntimeError); pointer jumping must close it in O(log n)."""
+        import ray.data
+
+        from poseidon_ray.stages.dedup import connected_components
+
+        n = 65
+        t = pa.table({
+            "doc_a": pa.array(range(n - 1), type=pa.int64()),
+            "doc_b": pa.array(range(1, n), type=pa.int64()),
+        })
+        out = connected_components(
+            ray.data.from_arrow(t).repartition(4)).to_pandas()
+        assert len(out) == n
+        assert (out["cluster_rep"] == 0).all()
+
+    def test_multi_component_unchanged(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages.dedup import connected_components
+
+        t = pa.table({
+            "doc_a": pa.array([1, 2, 10, 11, 20], type=pa.int64()),
+            "doc_b": pa.array([2, 3, 11, 12, 21], type=pa.int64()),
+        })
+        out = connected_components(ray.data.from_arrow(t)).to_pandas() \
+            .set_index("node")["cluster_rep"].to_dict()
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
+                       20: 20, 21: 20}
+
+
 class TestIncrementalMinhash:
     """dedup.minhash_index_add — persisted band-row generations; the
     union of every run's pairs must equal one full run over the grown
