@@ -157,10 +157,11 @@ def _id_fingerprint(ds: ray.data.Dataset, id_col: str) -> int:
 
     parts = ds.select_columns([id_col]).map_batches(fp, batch_format="pyarrow")
     total = np.uint64(0)
-    for t in ray.get(parts.to_arrow_refs()):
-        if t.num_rows:
-            total += t["fp"].to_numpy(zero_copy_only=False) \
-                .astype(np.uint64).sum(dtype=np.uint64)
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is the definition
+        for t in ray.get(parts.to_arrow_refs()):
+            if t.num_rows:
+                total += t["fp"].to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64).sum(dtype=np.uint64)
     return int(total)
 
 
