@@ -393,6 +393,62 @@ def q_hh_invariants(sf_dir: str) -> pa.Table:
 QUANTILE_PCTS = (1, 10, 25, 50, 75, 90, 99)
 
 
+def q_incremental_invariants(sf_dir: str) -> pa.Table:
+    """Self-checking oracle row for the INCREMENTAL MinHash generations
+    (stages/dedup.minhash_index_add): split the documents table 60/40 by
+    doc_id, run two generation adds into a fresh state dir, and emit one
+    VIOLATION row per pair in the symmetric difference between the union
+    of the two runs' outputs and one full run over the whole table —
+    plus a row if run 2 emits any old-old pair. DuckDB twin = the empty
+    set, so any contract break fails the driver's hard gate."""
+    import shutil
+    import tempfile
+
+    docs = _docs(sf_dir)
+    n = docs.count()
+    cut = (n * 6) // 10
+    params = dict(num_perm=64, bands=16, shingle_k=1,
+                  min_jaccard=0.7, max_bucket=None)
+
+    def below(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["doc_id"], cut))
+
+    def above(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["doc_id"], cut))
+
+    full = dedup.minhash_candidate_pairs(docs, **params)
+    full_t = _collect(full, _PAIR_SCHEMA)
+    state = tempfile.mkdtemp(prefix="poseidon_mh_inc_")
+    try:
+        p1 = _collect(dedup.minhash_index_add(
+            docs.map_batches(below, batch_format="pyarrow"), state,
+            **params), _PAIR_SCHEMA)
+        p2 = _collect(dedup.minhash_index_add(
+            docs.map_batches(above, batch_format="pyarrow"), state,
+            **params), _PAIR_SCHEMA)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+    def keyset(t: pa.Table) -> set:
+        return {(int(a), int(b), int(round(e * 1e9)))
+                for a, b, e in zip(t["doc_a"].to_pylist(),
+                                   t["doc_b"].to_pylist(),
+                                   t["est_jaccard"].to_pylist())}
+
+    union = keyset(p1) | keyset(p2)
+    diff = union ^ keyset(full_t)
+    bad = sorted(diff)
+    # run 2 must never re-emit an old-old pair
+    for a, b in zip(p2["doc_a"].to_pylist(), p2["doc_b"].to_pylist()):
+        if a < cut and b < cut:
+            bad.append((int(a), int(b), -1))
+    return pa.table({
+        "doc_a": pa.array([b[0] for b in bad], type=pa.int64()),
+        "doc_b": pa.array([b[1] for b in bad], type=pa.int64()),
+        "est_r9": pa.array([b[2] for b in bad], type=pa.int64()),
+    })
+
+
 def q_quantiles(sf_dir: str) -> pa.Table:
     """Doc-length percentiles through the distributed t-digest in its
     EXACT regime (compression >= distinct lengths -> every compression
@@ -1161,6 +1217,12 @@ ORACLE_SQL: dict[str, str] = {
         "FROM qs JOIN s ON s.r >= (pct * s.n + 99) // 100 "
         "GROUP BY pct ORDER BY pct"
     ),
+    # self-check: incremental minhash generations — union of delta runs
+    # == full run, no old-old re-emission; oracle row set is EMPTY
+    "incremental_invariants": (
+        "SELECT CAST(0 AS BIGINT) AS doc_a, CAST(0 AS BIGINT) AS doc_b, "
+        "CAST(0 AS BIGINT) AS est_r9 WHERE 1 = 0"
+    ),
     # self-check: approximate-regime t-digest rank bounds; oracle row set
     # is EMPTY — any violation row fails the gate
     "quantile_invariants": (
@@ -1286,6 +1348,7 @@ QUERIES = {
     "ivf_recall": q_ivf_recall,
     "quantiles": q_quantiles,
     "quantile_invariants": q_quantile_invariants,
+    "incremental_invariants": q_incremental_invariants,
     # rows-only (non-SQL-expressible: engine internals / sketches / ANN
     # approximations)
     "hll_uv": q_hll_uv,

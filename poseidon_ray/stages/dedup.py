@@ -594,9 +594,16 @@ class MinHashStage:
         n, bands = buckets.shape
         sig_bytes = sig32.tobytes()
         itemsize = self.num_perm * 4
-        sig_col = pa.array(
-            [sig_bytes[i * itemsize:(i + 1) * itemsize] if b == 0 else b""
-             for i in range(n) for b in range(bands)], type=pa.large_binary())
+        # the signature rides row 0 of each doc's band rows, empty
+        # elsewhere — built as ONE LargeBinaryArray from the raw signature
+        # buffer + computed offsets, no Python loop over n x bands rows
+        # (r3 VERDICT 'What's wrong' #5)
+        lengths = np.zeros(n * bands, dtype=np.int64)
+        lengths[::bands] = itemsize
+        offsets = np.concatenate([[0], np.cumsum(lengths)])
+        sig_col = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n * bands,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(sig_bytes)])
         flat_buckets = buckets.ravel()
         return pa.table({
             "shard": pa.array((flat_buckets % np.uint64(N_PAIR_SHARDS))
