@@ -1,17 +1,24 @@
 """Baseline JPEG codec, pure stdlib + numpy (public ITU-T T.81 spec).
 
-Decoder: SOI/APPn/DQT/SOF0|1/DHT/DRI/SOS/EOI marker parse, canonical
-Huffman decode with byte-stuffing and restart markers, DC diff + AC
-run-length entropy decode, dequantize, zigzag, separable IDCT (numpy
-matmul), generic h/v chroma upsample (nearest), full-range BT.601
-YCbCr->RGB. Progressive (SOF2) and arithmetic coding raise
-NotImplementedError — they are the honest remaining stub.
+Decoder: SOI/APPn/DQT/SOF0|1|2/DHT/DRI/SOS/EOI marker parse, canonical
+Huffman decode with byte-stuffing and restart markers, multi-scan
+coefficient-store engine covering BASELINE and PROGRESSIVE (SOF2) DCT —
+both spectral selection and successive approximation per T.81 Annex G
+(a baseline image is simply one full-band scan) — dequantize, zigzag,
+vectorized separable IDCT, generic h/v chroma upsample (nearest),
+full-range BT.601 YCbCr->RGB. Arithmetic coding (SOF9+) and lossless
+modes raise NotImplementedError — the honest remaining stub.
 
-Encoder (the test twin and fixture generator): 4:4:4 or grayscale
-baseline, quality-scaled Annex-K-style quant tables, per-image canonical
-Huffman tables built from the actual symbol frequencies and emitted in
-DHT — so the decoder's table parsing is exercised for real, with no
-dependence on remembering the spec's example tables.
+Encoders (the test twins and fixture generators): 4:4:4 or grayscale
+baseline (encode_jpeg) and progressive (encode_jpeg_progressive: the
+classic libjpeg scan script — DC first at Al=1, AC spectral bands at
+Al=1, AC refinement to Al=0 with cross-block EOB runs and deferred
+correction bits, DC refinement). Quality-scaled Annex-K-style quant
+tables; per-image/per-scan canonical Huffman tables built from the
+actual symbol frequencies and emitted in DHT — so the decoder's table
+parsing is exercised for real. Progressive and baseline encode the SAME
+quantized coefficients, so decoded pixels must agree bit-for-bit (the
+coefficient-level identity tests/test_round4 pins).
 
 This mirrors the reference's stance of decoding payload formats inline in
 the pipeline workers (builder/docformat payload handling); here it backs
@@ -146,8 +153,137 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _ac_first(r: _BitReader, ac_tab, blk, k: int, se: int, al: int,
+              eobrun: int) -> int:
+    """Progressive first AC scan for one block (T.81 G.2; Al=0 + se=63
+    degenerates to exactly the baseline AC decode). Returns eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    while k <= se:
+        sym = _huff_decode(r, ac_tab)
+        run, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if run == 15:
+                k += 16                          # ZRL
+                continue
+            eobrun = (1 << run) - 1              # EOBRUN covers this block
+            if run:
+                eobrun += r.read(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("AC coefficient overflow")
+        blk[k] = _extend(r.read(size), size) * (1 << al)
+        k += 1
+    return eobrun
+
+
+def _ac_refine(r: _BitReader, ac_tab, blk, ss: int, se: int, al: int,
+               eobrun: int) -> int:
+    """Progressive AC refinement scan for one block (T.81 G.1.2.3 /
+    successive approximation): newly-nonzero coefficients arrive as
+    (run, 1) symbols + sign bit; already-nonzero history coefficients
+    crossed on the way absorb one correction bit each."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_decode(r, ac_tab)
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run != 15:
+                    eobrun = 1 << run            # covers this block too
+                    if run:
+                        eobrun += r.read(run)
+                    break
+                val = 0                          # ZRL: 16 zero-history slots
+            else:
+                if size != 1:
+                    raise ValueError("bad AC refinement symbol")
+                val = p1 if r.read(1) else -p1
+            while k <= se:
+                if blk[k] != 0:
+                    if r.read(1) and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else -p1
+                    k += 1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                    k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if r.read(1) and (int(blk[k]) & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(payload: bytes, pos: int, scan: list[dict], coef: dict,
+                 pred: dict, huff: dict, ss: int, se: int, ah: int, al: int,
+                 restart_interval: int, mcux: int, mcuy: int) -> int:
+    """Decode one entropy-coded scan (baseline or progressive) into the
+    per-component coefficient store; returns the byte position of the
+    next marker. Interleaved scans walk the MCU grid; single-component
+    scans walk that component's own block raster (T.81 A.2)."""
+    r = _BitReader(payload, pos)
+    eobrun = 0
+    units = []                                   # (comp, by, bx) per MCU
+    if len(scan) > 1:
+        for my, mx in itertools.product(range(mcuy), range(mcux)):
+            mcu = []
+            for c in scan:
+                for by, bx in itertools.product(range(c["v"]), range(c["h"])):
+                    mcu.append((c, my * c["v"] + by, mx * c["h"] + bx))
+            units.append(mcu)
+    else:
+        c = scan[0]
+        for by, bx in itertools.product(range(c["nby"]), range(c["nbx"])):
+            units.append([(c, by, bx)])
+
+    mcu_count = 0
+    for mcu in units:
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            r.byte_align()
+            if payload[r.pos] == 0xFF and 0xD0 <= payload[r.pos + 1] <= 0xD7:
+                r.pos += 2
+            for cid in pred:
+                pred[cid] = 0
+            eobrun = 0
+        mcu_count += 1
+        for c, by, bx in mcu:
+            blk = coef[c["id"]][by, bx]
+            if ss == 0:
+                if ah == 0:                      # DC first (or baseline)
+                    size = _huff_decode(r, huff[(0, c["td"])])
+                    pred[c["id"]] += _extend(r.read(size), size)
+                    blk[0] = pred[c["id"]] << al
+                elif r.read(1):                  # DC refinement: one bit
+                    blk[0] = int(blk[0]) | (1 << al)
+            if se >= 1 and not (ss == 0 and se == 0):
+                ac_tab = huff[(1, c["ta"])]
+                if ah == 0:
+                    eobrun = _ac_first(r, ac_tab, blk, max(ss, 1), se, al,
+                                       eobrun)
+                else:
+                    eobrun = _ac_refine(r, ac_tab, blk, ss, se, al, eobrun)
+    r.byte_align()
+    return r.pos
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> uint8 (h, w, c) with c = 1 (grayscale) or 3 (RGB)."""
+    """JPEG -> uint8 (h, w, c) with c = 1 (grayscale) or 3 (RGB).
+
+    Handles baseline (SOF0/1) AND progressive (SOF2) DCT streams — both
+    spectral selection and successive approximation, per ITU-T T.81
+    Annex G — via one multi-scan coefficient-store engine (a baseline
+    image is simply one full-band scan). Arithmetic coding (SOF9+) and
+    lossless modes remain unimplemented."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -156,125 +292,112 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[dict] = []
     w = h = None
     restart_interval = 0
-    while True:
-        if payload[pos] != 0xFF:
-            raise ValueError("JPEG marker expected")
-        # 0xFF fill bytes are legal padding before any marker (T.81 B.1.1.2)
-        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
-            pos += 1
-        marker = payload[pos + 1]
-        pos += 2
-        if marker == 0xD9:                       # EOI
-            raise ValueError("JPEG has no scan data")
-        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            continue                             # TEM / RSTn: no length word
-        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
-        seg = payload[pos + 2:pos + seglen]
-        if marker == 0xDB:                       # DQT
-            p = 0
-            while p < len(seg):
-                prec, tid = seg[p] >> 4, seg[p] & 0xF
-                if prec:
-                    raise ValueError("16-bit quant tables not supported")
-                tab = np.zeros(64)
-                tab[_ZIGZAG] = np.frombuffer(seg, np.uint8, 64, p + 1)
-                qt[tid] = tab.reshape(8, 8)
-                p += 65
-        elif marker in (0xC0, 0xC1):             # SOF0/1 baseline
-            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            comps = []
-            for i in range(nc):
-                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
-                              "tq": tq})
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported "
-                                      "(baseline only)")
-        elif marker == 0xC4:                     # DHT
-            p = 0
-            while p < len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 0xF
-                bits = list(seg[p + 1:p + 17])
-                nv = sum(bits)
-                vals = list(seg[p + 17:p + 17 + nv])
-                huff[(tc, th)] = _build_huff(bits, vals)
-                p += 17 + nv
-        elif marker == 0xDD:                     # DRI
-            (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:                     # SOS
-            ns = seg[0]
-            scan = []
-            for i in range(ns):
-                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in comps if c["id"] == cs)
-                comp["td"], comp["ta"] = tdta >> 4, tdta & 0xF
-                scan.append(comp)
-            pos += seglen
-            break
-        pos += seglen
-    if w is None:
-        raise ValueError("JPEG missing SOF")
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = {c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]))
-              for c in comps}
-    pred = {c["id"]: 0 for c in comps}
-    r = _BitReader(payload, pos)
-    mcu_count = 0
+    coef: dict[int, np.ndarray] | None = None
+    pred: dict[int, int] = {}
+    hmax = vmax = mcux = mcuy = 0
     try:
-        for my, mx in itertools.product(range(mcuy), range(mcux)):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                r.byte_align()
-                if payload[r.pos] == 0xFF and 0xD0 <= payload[r.pos + 1] <= 0xD7:
-                    r.pos += 2
-                pred = {c["id"]: 0 for c in comps}
-            mcu_count += 1
-            for c in scan:
-                dc_tab = huff[(0, c["td"])]
-                ac_tab = huff[(1, c["ta"])]
-                q = qt[c["tq"]]
-                for by, bx in itertools.product(range(c["v"]), range(c["h"])):
-                    coef = np.zeros(64)
-                    size = _huff_decode(r, dc_tab)
-                    pred[c["id"]] += _extend(r.read(size), size)
-                    coef[0] = pred[c["id"]]
-                    k = 1
-                    while k < 64:
-                        sym = _huff_decode(r, ac_tab)
-                        if sym == 0x00:              # EOB
-                            break
-                        run, size = sym >> 4, sym & 0xF
-                        if size == 0:
-                            if run != 15:
-                                raise ValueError("bad AC symbol")
-                            k += 16                  # ZRL
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC coefficient overflow")
-                        coef[k] = _extend(r.read(size), size)
-                        k += 1
-                    block = np.zeros(64)
-                    block[_ZIGZAG] = coef
-                    px = _idct2(block.reshape(8, 8) * q) + 128.0
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = px
+        while True:
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG marker expected")
+            # 0xFF fill bytes are legal padding before a marker (B.1.1.2)
+            while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+                pos += 1
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:                   # EOI
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue                         # TEM / RSTn: no length word
+            (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+            seg = payload[pos + 2:pos + seglen]
+            if marker == 0xDB:                   # DQT
+                p = 0
+                while p < len(seg):
+                    prec, tid = seg[p] >> 4, seg[p] & 0xF
+                    if prec:
+                        raise ValueError("16-bit quant tables not supported")
+                    tab = np.zeros(64)
+                    tab[_ZIGZAG] = np.frombuffer(seg, np.uint8, 64, p + 1)
+                    qt[tid] = tab.reshape(8, 8)
+                    p += 65
+            elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/1 baseline, SOF2 prog
+                _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+                comps = []
+                for i in range(nc):
+                    cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                                  "tq": tq})
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    "only baseline/progressive Huffman JPEG is supported "
+                    "(arithmetic-coded and lossless modes are not)")
+            elif marker == 0xC4:                 # DHT
+                p = 0
+                while p < len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 0xF
+                    bits = list(seg[p + 1:p + 17])
+                    nv = sum(bits)
+                    vals = list(seg[p + 17:p + 17 + nv])
+                    huff[(tc, th)] = _build_huff(bits, vals)
+                    p += 17 + nv
+            elif marker == 0xDD:                 # DRI
+                (restart_interval,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:                 # SOS — one of possibly many
+                if w is None:
+                    raise ValueError("JPEG missing SOF")
+                if coef is None:
+                    hmax = max(c["h"] for c in comps)
+                    vmax = max(c["v"] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    coef = {}
+                    for c in comps:
+                        cw = -(-w * c["h"] // hmax)   # component pixel dims
+                        ch = -(-h * c["v"] // vmax)
+                        c["nbx"] = -(-cw // 8)
+                        c["nby"] = -(-ch // 8)
+                        coef[c["id"]] = np.zeros(
+                            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+                        pred[c["id"]] = 0
+                ns = seg[0]
+                scan = []
+                for i in range(ns):
+                    cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                    comp = next(c for c in comps if c["id"] == cs)
+                    comp["td"], comp["ta"] = tdta >> 4, tdta & 0xF
+                    scan.append(comp)
+                ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+                for cid in pred:                 # DC pred resets per scan
+                    pred[cid] = 0
+                pos = _decode_scan(payload, pos + seglen, scan, coef, pred,
+                                   huff, ss, se, ahal >> 4, ahal & 0xF,
+                                   restart_interval, mcux, mcuy)
+                continue
+            pos += seglen
     except _MarkerHit as exc:
         # a non-RST marker inside entropy data == the stream was cut
         raise ValueError("truncated JPEG stream") from exc
+    if coef is None:
+        raise ValueError("JPEG has no scan data")
 
     out = []
     for c in comps:
-        p = planes[c["id"]]
+        q = qt[c["tq"]].reshape(64)
+        bh, bw = coef[c["id"]].shape[:2]
+        zz = coef[c["id"]].reshape(-1, 64).astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, _ZIGZAG] = zz                     # zigzag -> natural order
+        nat *= q
+        px = np.einsum("ij,njk,kl->nil", _A.T,
+                       nat.reshape(-1, 8, 8), _A) + 128.0
+        plane = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(bh * 8, bw * 8)
         if c["h"] != hmax or c["v"] != vmax:
             yi = np.arange(vmax * mcuy * 8) * c["v"] // vmax
             xi = np.arange(hmax * mcux * 8) * c["h"] // hmax
-            p = p[yi][:, xi]
-        out.append(p[:h, :w])
+            plane = plane[yi][:, xi]
+        out.append(plane[:h, :w])
     if len(out) == 1:
         return np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)[:, :, None]
     y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
@@ -357,6 +480,43 @@ def _category(v: int) -> int:
 
 def _mag_bits(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
+
+
+def _component_coefficients(pixels: np.ndarray, quality: int):
+    """Shared front half of both encoders: color transform, 8x8 DCT,
+    quantization, zigzag — returns (qcoef per comp, qtabs, tqs, comp_tab,
+    h, w, bh, bw, nc)."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, nc = pixels.shape
+    if nc not in (1, 3):
+        raise ValueError("1 or 3 channels only")
+    qlum, qchrom = _quality_tables(quality)
+    f = pixels.astype(np.float64)
+    if nc == 3:
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                  128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+        qtabs = [qlum, qchrom, qchrom]
+        tqs = [0, 1, 1]
+        comp_tab = [0, 1, 1]
+    else:
+        planes = [f[..., 0]]
+        qtabs = [qlum]
+        tqs = [0]
+        comp_tab = [0]
+    bh, bw = -(-h // 8), -(-w // 8)
+    qcoef: list[list[np.ndarray]] = []
+    for plane, q in zip(planes, qtabs):
+        padded = np.pad(plane - 128.0, ((0, bh * 8 - h), (0, bw * 8 - w)),
+                        mode="edge")
+        blocks = []
+        for by, bx in itertools.product(range(bh), range(bw)):
+            d = _dct2(padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8])
+            blocks.append(np.rint(d / q).astype(np.int64).reshape(64)[_ZIGZAG])
+        qcoef.append(blocks)
+    return qcoef, qtabs, tqs, comp_tab, h, w, bh, bw, nc
 
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
@@ -492,4 +652,209 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
                 k += 1
     out.extend(bwr.flush())
     out.extend(b"\xff\xd9")                      # EOI
+    return bytes(out)
+
+
+# ----------------------------------------------------- progressive encoder
+
+_MAX_EOBRUN = 0x7FFF
+
+
+def _flush_eobrun(ev: list, eobrun: int, pending_bits: list) -> int:
+    """Emit an accumulated EOBRUN symbol (+ its deferred correction bits,
+    refinement scans only) — total blocks covered n = (1<<r) + extra."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        ev.append(("sym", r << 4))
+        if r:
+            ev.append(("bits", eobrun - (1 << r), r))
+        for b in pending_bits:
+            ev.append(("bits", b, 1))
+        pending_bits.clear()
+    return 0
+
+
+def _ac_first_events(blocks, ss: int, se: int, al: int) -> list:
+    """Events for a progressive first AC scan over one component: t-values
+    (toward-zero shift by Al), RLE with ZRL and cross-block EOB runs."""
+    ev: list = []
+    eobrun = 0
+    none: list = []
+    for zz in blocks:
+        band = [int(np.sign(v)) * (abs(int(v)) >> al)
+                for v in zz[ss:se + 1]]
+        if not any(band):
+            eobrun += 1
+            if eobrun == _MAX_EOBRUN:
+                eobrun = _flush_eobrun(ev, eobrun, none)
+            continue
+        eobrun = _flush_eobrun(ev, eobrun, none)
+        run = 0
+        last_nz = max(i for i, v in enumerate(band) if v)
+        for i, v in enumerate(band):
+            if i > last_nz:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ev.append(("sym", 0xF0))
+                run -= 16
+            s = _category(v)
+            ev.append(("sym", (run << 4) | s))
+            ev.append(("bits", _mag_bits(v, s), s))
+            run = 0
+        if last_nz < len(band) - 1:
+            eobrun = 1
+    _flush_eobrun(ev, eobrun, none)
+    return ev
+
+
+def _ac_refine_events(blocks, ss: int, se: int, al: int) -> list:
+    """Events for a progressive AC refinement scan (T.81 G.1.2.3 encoder):
+    newly-nonzero coefficients as (run-of-zero-history, 1) + sign bit;
+    correction bits for history coefficients interleave exactly where the
+    decoder's advance loop reads them; trailing content folds into EOB
+    runs whose deferred bits flush after the EOBRUN symbol."""
+    ev: list = []
+    eobrun = 0
+    pending: list = []
+    for zz in blocks:
+        a = [abs(int(v)) for v in zz[ss:se + 1]]
+        hist = [(x >> (al + 1)) != 0 for x in a]
+        av = [x >> al for x in a]
+        newly = [i for i in range(len(a)) if not hist[i] and av[i]]
+        for i in newly:
+            if av[i] != 1:
+                raise ValueError("coefficient grew by >1 bit in one scan "
+                                 "(invalid successive approximation)")
+        if newly:
+            eobrun = _flush_eobrun(ev, eobrun, pending)
+        j = 0
+        for np_ in newly:
+            span = list(range(j, np_))
+            zrun = sum(1 for i in span if not hist[i])
+            while zrun > 15:
+                ev.append(("sym", 0xF0))
+                consumed = 0
+                while consumed < 16:
+                    i = span.pop(0)
+                    if hist[i]:
+                        ev.append(("bits", av[i] & 1, 1))
+                    else:
+                        consumed += 1
+                zrun -= 16
+            ev.append(("sym", (zrun << 4) | 1))
+            ev.append(("bits", 1 if zz[ss + np_] > 0 else 0, 1))
+            for i in span:
+                if hist[i]:
+                    ev.append(("bits", av[i] & 1, 1))
+            j = np_ + 1
+        if j <= len(a) - 1:
+            eobrun += 1
+            pending.extend(av[i] & 1 for i in range(j, len(a)) if hist[i])
+            if eobrun == _MAX_EOBRUN:
+                eobrun = _flush_eobrun(ev, eobrun, pending)
+    _flush_eobrun(ev, eobrun, pending)
+    return ev
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 (h, w) | (h, w, 1) grayscale or (h, w, 3) RGB -> PROGRESSIVE
+    JPEG (SOF2), 4:4:4, per-scan canonical Huffman tables.
+
+    Scan script (the classic libjpeg shape — exercises BOTH progressive
+    dimensions): interleaved DC first at Al=1; per-component AC spectral
+    bands 1-5 and 6-63 at Al=1; per-component AC refinement 1-63 to Al=0;
+    interleaved DC refinement to Al=0. Progressive and baseline encode
+    the SAME quantized coefficients, so `decode_jpeg` must reproduce the
+    baseline decode bit-for-bit (pinned by tests)."""
+    qcoef, qtabs, tqs, comp_tab, h, w, bh, bw, nc = \
+        _component_coefficients(pixels, quality)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
+
+    qlum = qtabs[0]
+    for tid, q in enumerate([qlum] + ([qtabs[1]] if nc == 3 else [])):
+        zz = q.reshape(64)[_ZIGZAG].astype(np.uint8)
+        seg(0xDB, bytes([tid]) + zz.tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, tqs[ci]])
+    seg(0xC2, sof)                               # SOF2: progressive DCT
+
+    def emit_scan(scan_comps: list[int], ss: int, se: int, ah: int, al: int,
+                  events_per_table: dict[int, list], tc: int | None) -> None:
+        """DHT (per-scan canonical tables from real symbol stats) + SOS +
+        entropy data for one scan. ``events_per_table``: table id ->
+        interleaved event list; interleaved DC scans pass one MERGED
+        stream under key -1 with ("sym", tab, s) triples."""
+        specs: dict[int, tuple] = {}
+        if tc is not None:
+            freqs: dict[int, dict[int, int]] = {}
+            merged = events_per_table[-1]
+            for e in merged:
+                if e[0] == "sym":
+                    t, s = (e[1], e[2]) if len(e) == 3 else (0, e[1])
+                    freqs.setdefault(t, {})
+                    freqs[t][s] = freqs[t].get(s, 0) + 1
+            for t in sorted(freqs):
+                specs[t] = _huff_spec(freqs[t])
+                bits, vals, _codes = specs[t]
+                seg(0xC4, bytes([(tc << 4) | t]) + bytes(bits) + bytes(vals))
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            # DC-first events carry per-component table ids (lum/chroma);
+            # AC scans are single-component with one per-scan table (0)
+            td = comp_tab[ci] if (tc == 0 and specs) else 0
+            ta = 0
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        bwr = _BitWriter()
+        for e in events_per_table[-1]:
+            if e[0] == "sym":
+                t, s = (e[1], e[2]) if len(e) == 3 else (0, e[1])
+                bwr.write(*specs[t][2][s])
+            else:
+                _, v, n = e
+                if n:
+                    bwr.write(v, n)
+        out.extend(bwr.flush())
+
+    # --- scan 1: DC first, interleaved, Al=1
+    ev: list = []
+    prev = [0] * nc
+    for bi in range(bh * bw):
+        for ci in range(nc):
+            v1 = int(qcoef[ci][bi][0]) >> 1      # DC point transform: floor
+            diff = v1 - prev[ci]
+            prev[ci] = v1
+            s = _category(diff)
+            ev.append(("sym", comp_tab[ci], s))
+            ev.append(("bits", _mag_bits(diff, s), s))
+    emit_scan(list(range(nc)), 0, 0, 0, 1, {-1: ev}, tc=0)
+
+    # --- per-component AC first scans (spectral bands), Al=1
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(nc):
+            ev = _ac_first_events(qcoef[ci], ss, se, 1)
+            emit_scan([ci], ss, se, 0, 1, {-1: ev}, tc=1)
+
+    # --- per-component AC refinement to Al=0
+    for ci in range(nc):
+        ev = _ac_refine_events(qcoef[ci], 1, 63, 0)
+        emit_scan([ci], 1, 63, 1, 0, {-1: ev}, tc=1)
+
+    # --- DC refinement to Al=0: one raw bit per block, interleaved
+    ev = []
+    for bi in range(bh * bw):
+        for ci in range(nc):
+            ev.append(("bits", int(qcoef[ci][bi][0]) & 1, 1))
+    emit_scan(list(range(nc)), 0, 0, 1, 0, {-1: ev}, tc=None)
+
+    out.extend(b"\xff\xd9")
     return bytes(out)

@@ -7,8 +7,9 @@ Decode support is split honestly by what this container can do:
   * PPM ``P6`` / PGM ``P5`` images -> (h, w, c) uint8 pixel tensors
   * PNG (8-bit gray/RGB/palette/alpha, non-interlaced) -> uint8 tensors
     (stdlib zlib inflate + numpy scanline unfiltering incl. Paeth)
-  * baseline JPEG (``functions/jpegcodec``: huffman + dequant + IDCT per
-    ITU-T T.81; progressive/arithmetic still refuse)
+  * JPEG, baseline AND progressive (``functions/jpegcodec``: multi-scan
+    huffman + dequant + IDCT per ITU-T T.81 incl. Annex-G spectral
+    selection / successive approximation; arithmetic coding still refuses)
   * RIFF/WAVE PCM-16 audio -> sample tensor (folded to uint8 feature range)
   * YUV4MPEG2 video -> uint8 RGB frame stacks (C420/C444, BT.601)
 - STUBBED: formats needing ffmpeg (MP3/MP4) raise NotImplementedError at

@@ -627,12 +627,12 @@ class TestJpegCodec:
         assert out.shape == (24, 24, 1)
         assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 4
 
-    def test_progressive_refuses(self):
+    def test_arithmetic_coding_refuses(self):
         from poseidon_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
 
         payload = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
         sof = payload.index(b"\xff\xc0")
-        payload[sof + 1] = 0xC2                  # rewrite SOF0 -> SOF2
+        payload[sof + 1] = 0xC9                  # SOF9: arithmetic coding
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(payload))
 

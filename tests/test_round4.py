@@ -113,6 +113,58 @@ class TestExactDedupHashOnly:
         assert set(a.columns) == {"doc_id", "text", "extra"}
 
 
+class TestProgressiveJpeg:
+    """Progressive JPEG (SOF2, T.81 Annex G): spectral selection +
+    successive approximation. Progressive and baseline encode the SAME
+    quantized coefficients, so the decoded pixels must match the baseline
+    decode EXACTLY — a coefficient-level identity, not a perceptual
+    check."""
+
+    @staticmethod
+    def _cases():
+        rng = np.random.default_rng(0)
+        return {
+            "noise_rgb": rng.integers(0, 256, (24, 33, 3), dtype=np.uint8),
+            "gradient": np.linspace(0, 255, 48 * 64 * 3)
+            .reshape(48, 64, 3).astype(np.uint8),
+            "gray": rng.integers(0, 256, (17, 19), dtype=np.uint8),
+            "flat": np.full((40, 40, 3), 130, np.uint8),
+        }
+
+    def test_progressive_equals_baseline_decode(self):
+        from poseidon_ray.functions.jpegcodec import (decode_jpeg, encode_jpeg,
+                                                      encode_jpeg_progressive)
+
+        for q in (50, 90):
+            for name, img in self._cases().items():
+                base = decode_jpeg(encode_jpeg(img, quality=q))
+                blob = encode_jpeg_progressive(img, quality=q)
+                assert b"\xff\xc2" in blob[:200]      # really SOF2
+                prog = decode_jpeg(blob)
+                np.testing.assert_array_equal(prog, base, err_msg=f"{name}/{q}")
+
+    def test_eobrun_spans_blocks(self):
+        # mostly-flat image: high-frequency bands are all-zero across many
+        # blocks, so the first AC scans must emit EOBRUN > 1 symbols
+        from poseidon_ray.functions.jpegcodec import (decode_jpeg,
+                                                      encode_jpeg_progressive)
+
+        img = np.full((64, 64), 100, np.uint8)
+        img[0, 0] = 120                               # one busy block
+        out = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+        assert out.shape == (64, 64, 1)
+
+    def test_truncated_progressive_raises(self):
+        from poseidon_ray.functions.jpegcodec import (decode_jpeg,
+                                                      encode_jpeg_progressive)
+
+        blob = encode_jpeg_progressive(
+            np.random.default_rng(1).integers(0, 256, (32, 32, 3),
+                                              dtype=np.uint8))
+        with pytest.raises(ValueError):
+            decode_jpeg(blob[:len(blob) // 2] + b"\xff\xd9")
+
+
 class TestCCPointerJumping:
     def test_long_chain_converges(self, ray_session):
         """A 64-link revision chain has diameter 64 — plain min-label
