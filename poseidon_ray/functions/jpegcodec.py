@@ -519,14 +519,21 @@ def _component_coefficients(pixels: np.ndarray, quality: int):
     return qcoef, qtabs, tqs, comp_tab, h, w, bh, bw, nc
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                subsampling: str = "444") -> bytes:
     """uint8 (h, w) | (h, w, 1) grayscale or (h, w, 3) RGB -> baseline
-    JPEG, 4:4:4 (no subsampling), per-image canonical Huffman tables."""
+    JPEG, per-image canonical Huffman tables. ``subsampling``: "444"
+    (default, no subsampling) or "420" (2x2-mean chroma downsample,
+    luma h=v=2 — produces interleaved multi-block MCUs, exercising the
+    decoder's generic MCU walk and chroma upsample for real)."""
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, nc = pixels.shape
     if nc not in (1, 3):
         raise ValueError("1 or 3 channels only")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    use420 = subsampling == "420" and nc == 3
     qlum, qchrom = _quality_tables(quality)
     f = pixels.astype(np.float64)
     if nc == 3:
@@ -540,56 +547,81 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         planes = [f[..., 0]]
         qtabs = [qlum]
         tqs = [0]
+    comp_tab = [0] + ([1, 1] if nc == 3 else [])
 
-    bh, bw = -(-h // 8), -(-w // 8)
-    # quantized zigzag coefficients per component, block row-major
+    if use420:
+        factors = [(2, 2), (1, 1), (1, 1)]       # (h, v) per component
+        he, we = -(-h // 2) * 2, -(-w // 2) * 2  # pad to even, then mean
+        for ci in (1, 2):
+            pe = np.pad(planes[ci], ((0, he - h), (0, we - w)), mode="edge")
+            planes[ci] = pe.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+        mcux, mcuy = -(-w // 16), -(-h // 16)
+    else:
+        factors = [(1, 1)] * nc
+        mcux, mcuy = -(-w // 8), -(-h // 8)
+
+    # per-component block grids (grid row-major), zigzag-quantized
     qcoef: list[list[np.ndarray]] = []
-    for plane, q in zip(planes, qtabs):
-        padded = np.pad(plane - 128.0, ((0, bh * 8 - h), (0, bw * 8 - w)),
+    grids: list[tuple[int, int]] = []
+    for ci, (plane, q) in enumerate(zip(planes, qtabs)):
+        ch, cw = factors[ci][1] * mcuy * 8, factors[ci][0] * mcux * 8
+        padded = np.pad(plane - 128.0,
+                        ((0, ch - plane.shape[0]), (0, cw - plane.shape[1])),
                         mode="edge")
+        gh, gw = ch // 8, cw // 8
+        grids.append((gh, gw))
         blocks = []
-        for by, bx in itertools.product(range(bh), range(bw)):
+        for by, bx in itertools.product(range(gh), range(gw)):
             d = _dct2(padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8])
             # natural -> zigzag scan order: scan[i] = natural[_ZIGZAG[i]]
-            zz = np.rint(d / q).astype(np.int64).reshape(64)[_ZIGZAG]
-            blocks.append(zz)
+            blocks.append(np.rint(d / q).astype(np.int64).reshape(64)[_ZIGZAG])
         qcoef.append(blocks)
 
-    # pass 1: symbol statistics
-    def _symbols(blocks: list[np.ndarray]):
-        dcs, acs, prev = [], [], 0
-        for zz in blocks:
-            diff = int(zz[0]) - prev
-            prev = int(zz[0])
-            dcs.append(_category(diff))
-            k = 1
-            run = 0
-            last_nz = max(np.flatnonzero(zz), default=0)
-            while k < 64:
-                v = int(zz[k])
-                if v == 0:
-                    if k > last_nz:
-                        acs.append(0x00)
-                        break
-                    run += 1
-                    if run == 16:
-                        acs.append(0xF0)
-                        run = 0
-                else:
-                    acs.append((run << 4) | _category(v))
+    # block visit order = the interleaved-MCU walk (T.81 A.2.3); for 4:4:4
+    # this degenerates to row-major, byte-identical to the old encoder
+    visit: list[list[int]] = [[] for _ in range(nc)]
+    for my, mx in itertools.product(range(mcuy), range(mcux)):
+        for ci in range(nc):
+            fh, fv = factors[ci]
+            _, gw = grids[ci]
+            for by, bx in itertools.product(range(fv), range(fh)):
+                visit[ci].append((my * fv + by) * gw + (mx * fh + bx))
+
+    def _block_symbols(zz: np.ndarray, prev: int):
+        dcs = _category(int(zz[0]) - prev)
+        acs = []
+        k = 1
+        run = 0
+        last_nz = max(np.flatnonzero(zz), default=0)
+        while k < 64:
+            v = int(zz[k])
+            if v == 0:
+                if k > last_nz:
+                    acs.append(0x00)
+                    break
+                run += 1
+                if run == 16:
+                    acs.append(0xF0)
                     run = 0
-                k += 1
+            else:
+                acs.append((run << 4) | _category(v))
+                run = 0
+            k += 1
         return dcs, acs
 
+    # pass 1: symbol statistics in visit order
     dc_freq: list[dict[int, int]] = [{}, {}]
     ac_freq: list[dict[int, int]] = [{}, {}]
-    comp_tab = [0] + ([1, 1] if nc == 3 else [])
-    for ci, blocks in enumerate(qcoef):
-        dcs, acs = _symbols(blocks)
-        for s in dcs:
-            dc_freq[comp_tab[ci]][s] = dc_freq[comp_tab[ci]].get(s, 0) + 1
-        for s in acs:
-            ac_freq[comp_tab[ci]][s] = ac_freq[comp_tab[ci]].get(s, 0) + 1
+    for ci in range(nc):
+        prev = 0
+        t = comp_tab[ci]
+        for bi in visit[ci]:
+            zz = qcoef[ci][bi]
+            dcs, acs = _block_symbols(zz, prev)
+            prev = int(zz[0])
+            dc_freq[t][dcs] = dc_freq[t].get(dcs, 0) + 1
+            for sym in acs:
+                ac_freq[t][sym] = ac_freq[t].get(sym, 0) + 1
     ntab = 2 if nc == 3 else 1
     dc_specs = [_huff_spec(dc_freq[i]) for i in range(ntab)]
     ac_specs = [_huff_spec(ac_freq[i]) for i in range(ntab)]
@@ -604,7 +636,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         seg(0xDB, bytes([tid]) + zz.tobytes())
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, tqs[ci]])    # h=v=1: 4:4:4
+        fh, fv = factors[ci]
+        sof += bytes([ci + 1, (fh << 4) | fv, tqs[ci]])
     seg(0xC0, sof)
     for tc, specs in ((0, dc_specs), (1, ac_specs)):
         for th, (bits, vals, _codes) in enumerate(specs):
@@ -616,40 +649,44 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     sos += bytes([0, 63, 0])
     seg(0xDA, sos)
 
+    # pass 2: entropy coding — interleave blocks per MCU in visit order
     bwr = _BitWriter()
     prev = [0] * nc
-    for by, bx in itertools.product(range(bh), range(bw)):
-        bi = by * bw + bx
+    cursors = [0] * nc
+    blocks_per_mcu = [factors[ci][0] * factors[ci][1] for ci in range(nc)]
+    for _my, _mx in itertools.product(range(mcuy), range(mcux)):
         for ci in range(nc):
             t = comp_tab[ci]
             dc_codes = dc_specs[t][2]
             ac_codes = ac_specs[t][2]
-            zz = qcoef[ci][bi]
-            diff = int(zz[0]) - prev[ci]
-            prev[ci] = int(zz[0])
-            size = _category(diff)
-            bwr.write(*dc_codes[size])           # (code, length)
-            if size:
-                bwr.write(_mag_bits(diff, size), size)
-            k = 1
-            run = 0
-            last_nz = max(np.flatnonzero(zz), default=0)
-            while k < 64:
-                v = int(zz[k])
-                if v == 0:
-                    if k > last_nz:
-                        bwr.write(*ac_codes[0x00])
-                        break
-                    run += 1
-                    if run == 16:
-                        bwr.write(*ac_codes[0xF0])
+            for _ in range(blocks_per_mcu[ci]):
+                zz = qcoef[ci][visit[ci][cursors[ci]]]
+                cursors[ci] += 1
+                diff = int(zz[0]) - prev[ci]
+                prev[ci] = int(zz[0])
+                size = _category(diff)
+                bwr.write(*dc_codes[size])       # (code, length)
+                if size:
+                    bwr.write(_mag_bits(diff, size), size)
+                k = 1
+                run = 0
+                last_nz = max(np.flatnonzero(zz), default=0)
+                while k < 64:
+                    v = int(zz[k])
+                    if v == 0:
+                        if k > last_nz:
+                            bwr.write(*ac_codes[0x00])
+                            break
+                        run += 1
+                        if run == 16:
+                            bwr.write(*ac_codes[0xF0])
+                            run = 0
+                    else:
+                        size = _category(v)
+                        bwr.write(*ac_codes[(run << 4) | size])
+                        bwr.write(_mag_bits(v, size), size)
                         run = 0
-                else:
-                    size = _category(v)
-                    bwr.write(*ac_codes[(run << 4) | size])
-                    bwr.write(_mag_bits(v, size), size)
-                    run = 0
-                k += 1
+                    k += 1
     out.extend(bwr.flush())
     out.extend(b"\xff\xd9")                      # EOI
     return bytes(out)

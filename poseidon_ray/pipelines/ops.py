@@ -470,6 +470,36 @@ def q_quantiles(sf_dir: str) -> pa.Table:
     })
 
 
+QUANTILE_BY_PCTS = (25, 50, 90)
+
+
+def q_quantiles_by_lang(sf_dir: str) -> pa.Table:
+    """Per-language doc-length percentiles through the grouped t-digest
+    (exact regime): (lang, pct, value), value-identical to the DuckDB
+    PARTITION BY rank twin — the training-mix profiling rollup (length
+    distribution per language)."""
+    from poseidon_ray.stages import sketch
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang", "n_chars"])
+    digs = sketch.tdigest_centroids_by(ds, "lang", "n_chars",
+                                       compression=1_000_000)
+    langs, pcts, vals = [], [], []
+    for lang in sorted(digs):
+        m, w = digs[lang]
+        n = int(w.sum())
+        ranks = [(p * n + 99) // 100 for p in QUANTILE_BY_PCTS]
+        v = sketch.quantile_at_rank(m, w, ranks)
+        langs.extend([lang] * len(ranks))
+        pcts.extend(QUANTILE_BY_PCTS)
+        vals.extend(np.rint(v).astype(np.int64))
+    return pa.table({
+        "lang": pa.array(langs, type=pa.string()),
+        "pct": pa.array(pcts, type=pa.int64()),
+        "value": pa.array(vals, type=pa.int64()),
+    })
+
+
 def q_quantile_invariants(sf_dir: str) -> pa.Table:
     """Self-checking oracle row for the APPROXIMATE t-digest regime:
     compression=64 forces real merge-compression at every level, then
@@ -1217,6 +1247,17 @@ ORACLE_SQL: dict[str, str] = {
         "FROM qs JOIN s ON s.r >= (pct * s.n + 99) // 100 "
         "GROUP BY pct ORDER BY pct"
     ),
+    # per-language t-digest percentiles, exact regime (PARTITION BY rank)
+    "quantiles_by_lang": (
+        "WITH qs(pct) AS (VALUES (25), (50), (90)), "
+        "s AS (SELECT lang, n_chars, row_number() OVER (PARTITION BY lang "
+        "ORDER BY n_chars) AS r, count(*) OVER (PARTITION BY lang) AS n "
+        "FROM documents) "
+        "SELECT lang, CAST(pct AS BIGINT) AS pct, "
+        "CAST(min(n_chars) AS BIGINT) AS value "
+        "FROM qs JOIN s ON s.r >= (pct * s.n + 99) // 100 "
+        "GROUP BY lang, pct ORDER BY lang, pct"
+    ),
     # self-check: incremental minhash generations — union of delta runs
     # == full run, no old-old re-emission; oracle row set is EMPTY
     "incremental_invariants": (
@@ -1347,6 +1388,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "ivf_recall": q_ivf_recall,
     "quantiles": q_quantiles,
+    "quantiles_by_lang": q_quantiles_by_lang,
     "quantile_invariants": q_quantile_invariants,
     "incremental_invariants": q_incremental_invariants,
     # rows-only (non-SQL-expressible: engine internals / sketches / ANN

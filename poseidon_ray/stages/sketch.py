@@ -231,6 +231,97 @@ def tdigest_centroids(ds: ray.data.Dataset, col: str, *,
     return _compress_centroids(m[order], w[order], compression)
 
 
+def tdigest_centroids_by(ds: ray.data.Dataset, key_col: str, col: str, *,
+                         compression: int = 256,
+                         num_shards: int = N_SKETCH_SHARDS
+                         ) -> dict[object, tuple[np.ndarray, np.ndarray]]:
+    """Per-key t-digest: key -> (means, weights). Same scale shape as
+    ``hll_count_distinct_by``: every block emits <= compression centroid
+    rows PER KEY IT CONTAINS, the merge is a coarse key-hash groupby with
+    one vectorized per-key compression pass per shard, and the driver
+    sees <= keys x compression rows. Lossless exact regime per key when
+    that key's distinct values fit ``compression``.
+
+    Granularity caveat (same as the per-key-HLL note in df_invariants):
+    the per-key compression pass is one Python iteration per key PER
+    BLOCK, so this is sized for grouping keys like language/source/split
+    (10s-1000s of keys), not per-document keys — a 10^6-key rollup
+    belongs in the exact groupby path."""
+    if compression < 8:
+        raise ValueError("compression must be >= 8")
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((vals, keys))
+        keys, vals = keys[order], vals[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], keys[1:] != keys[:-1]]))
+        ends = np.append(starts[1:], len(keys))
+        out_k, out_m, out_w = [], [], []
+        for s, e in zip(starts, ends):     # one pass per key-in-block
+            m, wt = _compress_centroids(
+                vals[s:e], np.ones(e - s, dtype=np.int64), compression)
+            out_k.append(np.repeat(keys[s:s + 1], len(m)))
+            out_m.append(m)
+            out_w.append(wt)
+        uk = np.concatenate(out_k) if out_k else keys[:0]
+        kh = hash_terms(uk) % np.uint64(num_shards) if len(uk) else \
+            np.array([], dtype=np.uint64)
+        return pa.table({
+            "_shard": pa.array(kh.astype(np.int64)),
+            key_col: pa.array(uk),
+            "mean": pa.array(np.concatenate(out_m) if out_m else
+                             np.empty(0, np.float64), type=pa.float64()),
+            "weight": pa.array(np.concatenate(out_w) if out_w else
+                               np.empty(0, np.int64), type=pa.int64()),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        m = g["mean"].to_numpy(zero_copy_only=False)
+        wt = g["weight"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((m, keys))
+        keys, m, wt = keys[order], m[order], wt[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], keys[1:] != keys[:-1]]))
+        ends = np.append(starts[1:], len(keys))
+        out_k, out_m, out_w = [], [], []
+        for s, e in zip(starts, ends):
+            mm, ww = _compress_centroids(m[s:e], wt[s:e], compression)
+            out_k.append(np.repeat(keys[s:s + 1], len(mm)))
+            out_m.append(mm)
+            out_w.append(ww)
+        return pa.table({
+            key_col: pa.array(np.concatenate(out_k) if out_k else keys[:0]),
+            "mean": pa.array(np.concatenate(out_m) if out_m else
+                             np.empty(0, np.float64), type=pa.float64()),
+            "weight": pa.array(np.concatenate(out_w) if out_w else
+                               np.empty(0, np.int64), type=pa.int64()),
+        })
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_shard").map_groups(merge, batch_format="pyarrow")
+    result: dict[object, tuple[np.ndarray, np.ndarray]] = {}
+    import ray as _ray
+
+    for t in _ray.get(merged.to_arrow_refs()):
+        if not t.num_rows:
+            continue
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        m = t["mean"].to_numpy(zero_copy_only=False)
+        wt = t["weight"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((m, keys))
+        keys, m, wt = keys[order], m[order], wt[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], keys[1:] != keys[:-1]]))
+        ends = np.append(starts[1:], len(keys))
+        for s, e in zip(starts, ends):
+            result[keys[s]] = _compress_centroids(m[s:e], wt[s:e],
+                                                  compression)
+    return result
+
+
 def quantile_at_rank(means: np.ndarray, weights: np.ndarray,
                      ranks) -> np.ndarray:
     """Discrete quantile per target rank (1-based): the first centroid

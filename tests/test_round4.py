@@ -154,6 +154,59 @@ class TestProgressiveJpeg:
         out = decode_jpeg(encode_jpeg_progressive(img, quality=90))
         assert out.shape == (64, 64, 1)
 
+    def test_420_subsampled_matches_numpy_reference(self):
+        """4:2:0 fixtures exercise the decoder's interleaved multi-block
+        MCU walk + chroma upsample, checked against an independently
+        coded numpy model of the same transform (not the encoder)."""
+        from poseidon_ray.functions import jpegcodec as J
+
+        rng = np.random.default_rng(2)
+        for shape in [(24, 33, 3), (31, 47, 3)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            h, w, _ = shape
+            got = J.decode_jpeg(J.encode_jpeg(img, quality=75,
+                                              subsampling="420"))
+            qlum, qchrom = J._quality_tables(75)
+            f = img.astype(np.float64)
+            r, g, b = f[..., 0], f[..., 1], f[..., 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+            he, we = -(-h // 2) * 2, -(-w // 2) * 2
+
+            def ds(p):
+                pe = np.pad(p, ((0, he - h), (0, we - w)), mode="edge")
+                return pe.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+
+            mcux, mcuy = -(-w // 16), -(-h // 16)
+
+            def codec(plane, q, gh, gw):
+                padded = np.pad(
+                    plane - 128.0,
+                    ((0, gh * 8 - plane.shape[0]),
+                     (0, gw * 8 - plane.shape[1])), mode="edge")
+                out = np.zeros((gh * 8, gw * 8))
+                for by in range(gh):
+                    for bx in range(gw):
+                        blk = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                        out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                            J._idct2(np.rint(J._dct2(blk) / q) * q) + 128.0
+                return out
+
+            yq = codec(y, qlum, 2 * mcuy, 2 * mcux)
+            cbq = codec(ds(cb), qchrom, mcuy, mcux)
+            crq = codec(ds(cr), qchrom, mcuy, mcux)
+            yi = np.arange(2 * mcuy * 8) // 2
+            xi = np.arange(2 * mcux * 8) // 2
+            yc = yq[:h, :w]
+            cbc = cbq[yi][:, xi][:h, :w] - 128.0
+            crc = crq[yi][:, xi][:h, :w] - 128.0
+            want = np.clip(np.rint(np.stack(
+                [yc + 1.402 * crc,
+                 yc - 0.344136 * cbc - 0.714136 * crc,
+                 yc + 1.772 * cbc], axis=-1)), 0, 255).astype(np.uint8)
+            np.testing.assert_array_equal(got, want)
+
     def test_truncated_progressive_raises(self):
         from poseidon_ray.functions.jpegcodec import (decode_jpeg,
                                                       encode_jpeg_progressive)
