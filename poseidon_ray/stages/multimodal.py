@@ -5,7 +5,7 @@ Decode support is split honestly by what this container can do:
 
 - REAL decoders (pure numpy / stdlib — no external libs needed):
   * PPM ``P6`` / PGM ``P5`` images -> (h, w, c) uint8 pixel tensors
-  * PNG (8-bit gray/RGB/palette/alpha, non-interlaced) -> uint8 tensors
+  * PNG (8-bit gray/RGB/palette/alpha, non-interlaced AND Adam7) -> uint8
     (stdlib zlib inflate + numpy scanline unfiltering incl. Paeth)
   * JPEG, baseline AND progressive (``functions/jpegcodec``: multi-scan
     huffman + dequant + IDCT per ITU-T T.81 incl. Annex-G spectral
@@ -44,50 +44,18 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG -> uint8 array (h, w, c). Pure stdlib zlib + numpy scanline
-    unfiltering (None/Sub/Up/Average/Paeth per the public PNG spec),
-    8-bit depth, color types gray/RGB/palette/gray+alpha/RGBA,
-    non-interlaced. Palette images are expanded to RGB."""
-    import struct
-    import zlib
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per the public PNG spec
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, plte = 8, [], None
-    w = h = depth = color = interlace = None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos:pos + 4])
-        ctype = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        pos += 12 + length  # chunk header + data + CRC
-        if ctype == b"IHDR":
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data)
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    if depth != 8:
-        raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
-    if interlace:
-        raise ValueError("interlaced PNG not supported")
-    if color not in _PNG_CHANNELS:
-        raise ValueError(f"PNG color type {color} not supported")
-    ch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline data size mismatch")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+
+def _png_unfilter(arr: np.ndarray, ph: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters (None/Sub/Up/Average/Paeth) for one
+    (sub)image: ``arr`` is (ph, stride+1) with the filter byte first."""
     ftypes = arr[:, 0]
-    out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = ch  # bytes per pixel at depth 8
-    for y in range(h):
+    out = np.zeros((ph, stride), dtype=np.uint8)
+    for y in range(ph):
         f = int(ftypes[y])
         cur = arr[y, 1:].astype(np.int32)
         prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
@@ -114,7 +82,70 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"PNG filter type {f} invalid")
         out[y] = rec
-    img = out.reshape(h, w, ch)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> uint8 array (h, w, c). Pure stdlib zlib + numpy scanline
+    unfiltering (None/Sub/Up/Average/Paeth per the public PNG spec),
+    8-bit depth, color types gray/RGB/palette/gray+alpha/RGBA,
+    non-interlaced AND Adam7-interlaced (r4: each of the 7 passes is an
+    independent filtered subimage scattered back on its pass grid).
+    Palette images are expanded to RGB."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, [], None
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # chunk header + data + CRC
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {color} not supported")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    if not interlace:
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG scanline data size mismatch")
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        img = _png_unfilter(arr, h, stride, ch).reshape(h, w, ch)
+    else:
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(w - x0) // dx))
+            ph = max(0, -(-(h - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue                   # empty pass: no data at all
+            stride = pw * ch
+            need = ph * (stride + 1)
+            arr = np.frombuffer(raw, dtype=np.uint8, count=need,
+                                offset=off).reshape(ph, stride + 1)
+            off += need
+            sub = _png_unfilter(arr, ph, stride, ch).reshape(ph, pw, ch)
+            img[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("PNG interlaced data size mismatch")
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -122,9 +153,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
+def encode_png(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
     """(h, w, c) uint8 -> minimal valid PNG (filter 0, one IDAT). Pure
-    stdlib — the sink twin of ``decode_png`` (and the test fixture)."""
+    stdlib — the sink twin of ``decode_png`` (and the test fixture).
+    ``interlace=True`` writes an Adam7 stream (7 per-pass subimages)."""
     import struct
     import zlib
 
@@ -137,8 +169,19 @@ def encode_png(pixels: np.ndarray) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0,
+                       1 if interlace else 0)
+    if not interlace:
+        raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pixels[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(b"\x00" + sub[y].tobytes()
+                         for y in range(sub.shape[0]))
+        raw = b"".join(parts)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))

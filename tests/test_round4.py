@@ -218,6 +218,23 @@ class TestProgressiveJpeg:
             decode_jpeg(blob[:len(blob) // 2] + b"\xff\xd9")
 
 
+class TestAdam7Png:
+    def test_interlaced_roundtrip_all_shapes(self):
+        from poseidon_ray.stages.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(0)
+        # tiny shapes leave several Adam7 passes empty — the spec says
+        # empty passes contribute NO bytes at all
+        for shape in [(1, 1, 1), (3, 2, 3), (7, 9, 1), (16, 16, 3),
+                      (33, 47, 4), (8, 1, 3)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            got = decode_png(encode_png(img, interlace=True))
+            np.testing.assert_array_equal(got, img, err_msg=str(shape))
+            # and pixel-identical to the non-interlaced stream
+            np.testing.assert_array_equal(
+                got, decode_png(encode_png(img)))
+
+
 class TestCCPointerJumping:
     def test_long_chain_converges(self, ray_session):
         """A 64-link revision chain has diameter 64 — plain min-label
