@@ -427,9 +427,17 @@ class _BitWriter:
                 self.out.append(0x00)            # byte stuffing
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
         if self.n:
             self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+    def raw(self, b: bytes) -> None:
+        """Append marker bytes verbatim (caller must be byte-aligned)."""
+        assert self.n == 0
+        self.out.extend(b)
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.out)
 
 
@@ -520,12 +528,16 @@ def _component_coefficients(pixels: np.ndarray, quality: int):
 
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 90,
-                subsampling: str = "444") -> bytes:
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """uint8 (h, w) | (h, w, 1) grayscale or (h, w, 3) RGB -> baseline
     JPEG, per-image canonical Huffman tables. ``subsampling``: "444"
     (default, no subsampling) or "420" (2x2-mean chroma downsample,
     luma h=v=2 — produces interleaved multi-block MCUs, exercising the
-    decoder's generic MCU walk and chroma upsample for real)."""
+    decoder's generic MCU walk and chroma upsample for real).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (byte-aligned, DC predictors reset) — the error-resilience
+    feature real camera/web JPEGs carry."""
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, nc = pixels.shape
@@ -609,19 +621,29 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
             k += 1
         return dcs, acs
 
-    # pass 1: symbol statistics in visit order
+    # pass 1: symbol statistics — the SAME MCU walk as emission, with the
+    # same restart-boundary DC-predictor resets (a stats pass that skips
+    # the resets produces diff categories the real stream never uses)
     dc_freq: list[dict[int, int]] = [{}, {}]
     ac_freq: list[dict[int, int]] = [{}, {}]
-    for ci in range(nc):
-        prev = 0
-        t = comp_tab[ci]
-        for bi in visit[ci]:
-            zz = qcoef[ci][bi]
-            dcs, acs = _block_symbols(zz, prev)
-            prev = int(zz[0])
-            dc_freq[t][dcs] = dc_freq[t].get(dcs, 0) + 1
-            for sym in acs:
-                ac_freq[t][sym] = ac_freq[t].get(sym, 0) + 1
+    blocks_per_mcu = [factors[ci][0] * factors[ci][1] for ci in range(nc)]
+    prev = [0] * nc
+    cursors = [0] * nc
+    mcu_count = 0
+    for _my, _mx in itertools.product(range(mcuy), range(mcux)):
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            prev = [0] * nc
+        mcu_count += 1
+        for ci in range(nc):
+            t = comp_tab[ci]
+            for _ in range(blocks_per_mcu[ci]):
+                zz = qcoef[ci][visit[ci][cursors[ci]]]
+                cursors[ci] += 1
+                dcs, acs = _block_symbols(zz, prev[ci])
+                prev[ci] = int(zz[0])
+                dc_freq[t][dcs] = dc_freq[t].get(dcs, 0) + 1
+                for sym in acs:
+                    ac_freq[t][sym] = ac_freq[t].get(sym, 0) + 1
     ntab = 2 if nc == 3 else 1
     dc_specs = [_huff_spec(dc_freq[i]) for i in range(ntab)]
     ac_specs = [_huff_spec(ac_freq[i]) for i in range(ntab)]
@@ -642,6 +664,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     for tc, specs in ((0, dc_specs), (1, ac_specs)):
         for th, (bits, vals, _codes) in enumerate(specs):
             seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
     for ci in range(nc):
         t = comp_tab[ci]
@@ -653,8 +677,14 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     bwr = _BitWriter()
     prev = [0] * nc
     cursors = [0] * nc
-    blocks_per_mcu = [factors[ci][0] * factors[ci][1] for ci in range(nc)]
+    mcu_count = 0
     for _my, _mx in itertools.product(range(mcuy), range(mcux)):
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            bwr.byte_align()
+            n_rst = (mcu_count // restart_interval - 1) % 8
+            bwr.raw(bytes([0xFF, 0xD0 + n_rst]))
+            prev = [0] * nc
+        mcu_count += 1
         for ci in range(nc):
             t = comp_tab[ci]
             dc_codes = dc_specs[t][2]

@@ -207,6 +207,23 @@ class TestProgressiveJpeg:
                  yc + 1.772 * cbc], axis=-1)), 0, 255).astype(np.uint8)
             np.testing.assert_array_equal(got, want)
 
+    def test_restart_markers_roundtrip(self):
+        """DRI/RSTn streams (byte-aligned boundaries, DC predictor
+        resets) must decode identically to the plain stream of the same
+        coefficients — the error-resilience feature real web JPEGs carry."""
+        from poseidon_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, (48, 40, 3), dtype=np.uint8)
+        for sub in ("444", "420"):
+            plain = decode_jpeg(encode_jpeg(img, quality=80,
+                                            subsampling=sub))
+            for ri in (1, 2, 5):
+                blob = encode_jpeg(img, quality=80, subsampling=sub,
+                                   restart_interval=ri)
+                assert b"\xff\xdd" in blob
+                np.testing.assert_array_equal(decode_jpeg(blob), plain)
+
     def test_truncated_progressive_raises(self):
         from poseidon_ray.functions.jpegcodec import (decode_jpeg,
                                                       encode_jpeg_progressive)
