@@ -390,6 +390,38 @@ def q_hh_invariants(sf_dir: str) -> pa.Table:
     })
 
 
+PREP_SAMPLE_FRAC = 0.5
+PREP_SAMPLE_THRESHOLD = int(PREP_SAMPLE_FRAC * (1 << 32))
+PREP_TRAIN_THRESHOLD = int(np.uint64(0.8 * (1 << 32)))
+
+
+def q_corpus_prep(sf_dir: str) -> pa.Table:
+    """END-TO-END training-corpus prep, three oracled stages COMPOSED in
+    one streaming pipeline under one DuckDB row: exact dedup (hash-only
+    shuffle + drop-set anti-filter) -> train split (hash bucket < 0.8)
+    -> deterministic 50% content-hash sample (salted). The corpus rows
+    themselves never enter any exchange at any stage — the whole prep is
+    per-batch filters around one (sha, id) hash shuffle."""
+    from poseidon_ray.stages.sample import deterministic_sample, hash_split
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text", "n_chars"])
+    kept = dedup.exact_dedup(docs, id_col="doc_id", text_col="text")
+    split = hash_split(kept, {"train": 0.8, "valid": 0.1, "test": 0.1},
+                       key_col="doc_id")
+
+    def train_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["split"], "train"))
+
+    train = split.map_batches(train_only, batch_format="pyarrow")
+    sampled = deterministic_sample(train, PREP_SAMPLE_FRAC,
+                                   key_col="doc_id", salt="prep")
+    out = _collect(sampled.select_columns(["doc_id", "n_chars"]))
+    out = pa.table({"doc_id": pc.cast(out["doc_id"], pa.int64()),
+                    "n_chars": pc.cast(out["n_chars"], pa.int64())})
+    return out.sort_by("doc_id")
+
+
 QUANTILE_PCTS = (1, 10, 25, 50, 75, 90, 99)
 
 
@@ -1247,6 +1279,19 @@ ORACLE_SQL: dict[str, str] = {
         "FROM qs JOIN s ON s.r >= (pct * s.n + 99) // 100 "
         "GROUP BY pct ORDER BY pct"
     ),
+    # end-to-end corpus prep: dedup -> train split -> salted 50% sample,
+    # one SQL twin for the whole composition
+    "corpus_prep": (
+        "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents "
+        "GROUP BY text) "
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+        "CAST(d.n_chars AS BIGINT) AS n_chars FROM documents d "
+        "JOIN keep k ON d.doc_id = k.doc_id "
+        "WHERE CAST(('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8)) "
+        f"AS UINTEGER) < {PREP_TRAIN_THRESHOLD} "
+        "AND CAST(('0x' || substr(sha256('prep' || CAST(d.doc_id AS VARCHAR)), 1, 8)) "
+        f"AS UINTEGER) < {PREP_SAMPLE_THRESHOLD} ORDER BY doc_id"
+    ),
     # per-language t-digest percentiles, exact regime (PARTITION BY rank)
     "quantiles_by_lang": (
         "WITH qs(pct) AS (VALUES (25), (50), (90)), "
@@ -1387,6 +1432,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "ivf_recall": q_ivf_recall,
+    "corpus_prep": q_corpus_prep,
     "quantiles": q_quantiles,
     "quantiles_by_lang": q_quantiles_by_lang,
     "quantile_invariants": q_quantile_invariants,
