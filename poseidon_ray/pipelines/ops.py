@@ -390,6 +390,39 @@ def q_hh_invariants(sf_dir: str) -> pa.Table:
     })
 
 
+def q_bloom_invariants(sf_dir: str) -> pa.Table:
+    """Self-checking oracle row for the distributed Bloom filter
+    (seen-set membership at 1.25 bytes/key — the approximate escape
+    hatch past the exact drop set's MAX_DROP_IDS): build over every
+    document text, then (a) NO false negatives — every inserted key must
+    report membership (the Bloom guarantee), and (b) the false-positive
+    rate on 4000 fresh keys must stay under 3% (theoretical ~0.8% at
+    bits_per_key=10, k=7; 3% is the loud-failure bound). Violations out;
+    DuckDB twin = the empty set."""
+    from poseidon_ray.stages import sketch
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+    n = ds.count()
+    bloom = sketch.build_bloom(ds, "text", n_keys_hint=n)
+    ann = _collect(sketch.bloom_annotate(ds, bloom, "text"))
+    bad: list[tuple[str, int, int]] = []
+    n_miss = int((~ann["maybe_seen"].to_numpy(zero_copy_only=False)).sum())
+    if n_miss:
+        bad.append(("false_negatives", n_miss, 0))
+    fresh = ray.data.from_arrow(pa.table({
+        "text": pa.array([f"fresh-key-{i}" for i in range(4000)])}))
+    fp = _collect(sketch.bloom_annotate(fresh, bloom, "text"))
+    n_fp = int(fp["maybe_seen"].to_numpy(zero_copy_only=False).sum())
+    if n_fp > 0.03 * 4000:
+        bad.append(("fp_rate_ppm", n_fp * 1_000_000 // 4000, 30_000))
+    return pa.table({
+        "kind": pa.array([b[0] for b in bad], type=pa.string()),
+        "got": pa.array([b[1] for b in bad], type=pa.int64()),
+        "want": pa.array([b[2] for b in bad], type=pa.int64()),
+    })
+
+
 PREP_SAMPLE_FRAC = 0.5
 PREP_SAMPLE_THRESHOLD = int(PREP_SAMPLE_FRAC * (1 << 32))
 PREP_TRAIN_THRESHOLD = int(np.uint64(0.8 * (1 << 32)))
@@ -1279,6 +1312,12 @@ ORACLE_SQL: dict[str, str] = {
         "FROM qs JOIN s ON s.r >= (pct * s.n + 99) // 100 "
         "GROUP BY pct ORDER BY pct"
     ),
+    # self-check: Bloom filter — no false negatives + FP rate bound;
+    # oracle row set is EMPTY
+    "bloom_invariants": (
+        "SELECT CAST('' AS VARCHAR) AS kind, CAST(0 AS BIGINT) AS got, "
+        "CAST(0 AS BIGINT) AS want WHERE 1 = 0"
+    ),
     # end-to-end corpus prep: dedup -> train split -> salted 50% sample,
     # one SQL twin for the whole composition
     "corpus_prep": (
@@ -1433,6 +1472,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "ivf_recall": q_ivf_recall,
     "corpus_prep": q_corpus_prep,
+    "bloom_invariants": q_bloom_invariants,
     "quantiles": q_quantiles,
     "quantiles_by_lang": q_quantiles_by_lang,
     "quantile_invariants": q_quantile_invariants,

@@ -235,6 +235,27 @@ class TestProgressiveJpeg:
             decode_jpeg(blob[:len(blob) // 2] + b"\xff\xd9")
 
 
+class TestBloomFilter:
+    def test_no_false_negatives_and_fp_bound(self, ray_session):
+        import ray.data
+
+        from poseidon_ray.stages import sketch
+
+        keys = [f"url-{i}" for i in range(3000)]
+        ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)})) \
+            .repartition(5)
+        bloom = sketch.build_bloom(ds, "k", n_keys_hint=3000, num_shards=8)
+        ann = sketch.bloom_annotate(ds, bloom, "k").to_pandas()
+        assert ann["maybe_seen"].all()                 # Bloom guarantee
+        fresh = ray.data.from_arrow(pa.table({
+            "k": pa.array([f"other-{i}" for i in range(3000)])}))
+        fp = sketch.bloom_annotate(fresh, bloom, "k").to_pandas()
+        assert fp["maybe_seen"].mean() < 0.03          # ~0.8% theoretical
+        dropped = sketch.bloom_annotate(fresh, bloom, "k",
+                                        mode="drop_members").to_pandas()
+        assert len(dropped) >= 3000 * 0.97
+
+
 class TestAdam7Png:
     def test_interlaced_roundtrip_all_shapes(self):
         from poseidon_ray.stages.multimodal import decode_png, encode_png
