@@ -248,8 +248,9 @@ class TestDedupShuffleWeight:
             "doc_b": pa.array([2, 99], type=pa.int64()),   # 99 absent
         }))
 
-        def fn(payloads, ia, ib, a, b):
-            s = np.array([p[0] for p in payloads], dtype=np.int64)
+        def fn(payload, ia, ib, a, b):
+            buf, offs = payload  # r5: zero-copy (buffer, offsets) contract
+            s = buf[offs[:-1]].astype(np.int64)  # first byte per payload
             return {"s": s[ia] + s[ib]}
 
         out = _routed_pair_apply(payload, pairs.materialize(), fn,
