@@ -54,60 +54,74 @@ def windowed_aggregate(ds: ray.data.Dataset, *, window_hours: int = 24,
         raise ValueError("window_hours must be a multiple of hop_hours")
     k = int(win_us // hop_us)
 
-    def partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
+    def rollup(win, types, n, v):
+        """Sum n/v per (window, type): ONE lexsort + add.reduceat — no
+        pandas frame over unaggregated events (r4 VERDICT 'What's wrong'
+        #3; the pv_uv partial shape)."""
+        utypes, tcode = np.unique(types, return_inverse=True)
+        order = np.lexsort((tcode, win))
+        win_s, tc_s = win[order], tcode[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], (win_s[1:] != win_s[:-1]) | (tc_s[1:] != tc_s[:-1])]))
+        return (win_s[starts], utypes[tc_s[starts]],
+                np.add.reduceat(n[order], starts),
+                np.add.reduceat(v[order], starts))
 
-        ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        ts_us = ts.astype(np.int64)
+    def partial(t: pa.Table) -> pa.Table:
+        from poseidon_ray.functions.hashing import hash_terms
+
+        ts_us = (t[ts_col].to_numpy(zero_copy_only=False)
+                 .astype("datetime64[us]").astype(np.int64))
         base = (ts_us // hop_us) * hop_us
-        df = pd.DataFrame({
-            "window_us": base,
-            "event_type": t[type_col].to_pylist(),
-            "n": 1,
-            "v": t[value_col].to_numpy(zero_copy_only=False),
-        })
+        types = np.asarray(t[type_col].to_numpy(zero_copy_only=False),
+                           dtype=object)
+        vals = (t[value_col].to_numpy(zero_copy_only=False)
+                .astype(np.float64))
+        win, utyp, n_out, v_out = rollup(
+            base, types, np.ones(len(base), np.int64), vals)
         if k > 1:
-            # each event -> the k hop-aligned windows covering it:
-            # ws in {base - i*hop : i < k} (ws <= t < ws + win)
-            df = df.loc[df.index.repeat(k)].reset_index(drop=True)
-            df["window_us"] = (df["window_us"].to_numpy()
-                               - hop_us * np.tile(np.arange(k, dtype=np.int64),
-                                                  len(ts_us)))
-        g = df.groupby(["window_us", "event_type"], sort=True).agg(
-            n_events=("n", "sum"), value_sum=("v", "sum")).reset_index()
+            # each hop cell -> the k hop-aligned windows covering it:
+            # ws in {cell - i*hop : i < k} (ws <= t < ws + win). Replicate
+            # the REDUCED cells, never the raw events.
+            m = len(win)
+            win = (np.repeat(win, k)
+                   - hop_us * np.tile(np.arange(k, dtype=np.int64), m))
+            utyp = np.repeat(utyp, k)
+            n_out = np.repeat(n_out, k)
+            v_out = np.repeat(v_out, k)
         # coarse merge-shard key: at scale the (window, type) key space is
         # windows × types (per-hour windows over years × 10^3 types =
         # 10^7+ groups) — shard it so the merge makes O(shards) Python
         # calls, one vectorized reduction each
-        key_hash = (pd.util.hash_pandas_object(g["window_us"], index=False)
-                    .to_numpy(dtype=np.uint64)
-                    ^ pd.util.hash_pandas_object(g["event_type"], index=False)
-                    .to_numpy(dtype=np.uint64))
-        g["_mshard"] = (key_hash % np.uint64(N_WINDOW_SHARDS)).astype(np.int64)
-        # strip pandas schema metadata: the embedded dict defeats Ray's
-        # block-schema hashing (log spam + lost schema dedup)
-        return pa.Table.from_pandas(
-            g, preserve_index=False).replace_schema_metadata(None)
+        sh = ((hash_terms(utyp) ^ (win.astype(np.uint64) * _SHARD_MIX))
+              % np.uint64(N_WINDOW_SHARDS)).astype(np.int64)
+        return pa.table({
+            "window_us": pa.array(win, type=pa.int64()),
+            "event_type": pa.array(utyp, type=pa.string()),
+            "n_events": pa.array(n_out, type=pa.int64()),
+            "value_sum": pa.array(v_out, type=pa.float64()),
+            "_mshard": pa.array(sh),
+        })
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def merge_shard(g: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = g.to_pandas()
-        out = df.groupby(["window_us", "event_type"], sort=True).agg(
-            n_events=("n_events", "sum"),
-            value_sum=("value_sum", "sum")).reset_index()
+        win, utyp, n_out, v_out = rollup(
+            g["window_us"].to_numpy(zero_copy_only=False),
+            np.asarray(g["event_type"].to_numpy(zero_copy_only=False),
+                       dtype=object),
+            g["n_events"].to_numpy(zero_copy_only=False),
+            g["value_sum"].to_numpy(zero_copy_only=False))
         return pa.table({
-            "window_us": pa.array(out["window_us"].to_numpy(), type=pa.int64()),
-            "event_type": pa.array(out["event_type"], type=pa.string()),
-            "n_events": pa.array(out["n_events"].to_numpy(), type=pa.int64()),
-            "value_sum": pa.array(out["value_sum"].to_numpy(),
-                                  type=pa.float64()),
+            "window_us": pa.array(win, type=pa.int64()),
+            "event_type": pa.array(utyp, type=pa.string()),
+            "n_events": pa.array(n_out, type=pa.int64()),
+            "value_sum": pa.array(v_out, type=pa.float64()),
         })
 
-    return partials.groupby("_mshard").map_groups(
-        merge_shard, batch_format="pyarrow")
+    from poseidon_ray.stages.exchange import shard_exchange
+
+    return shard_exchange(partials, "_mshard", merge_shard)
 
 
 def pv_uv(ds: ray.data.Dataset, *, type_col: str = "event_type",
@@ -179,8 +193,10 @@ def pv_uv(ds: ray.data.Dataset, *, type_col: str = "event_type",
             "uv": pa.array(uv.astype(np.int64)),
         })
 
-    parts = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("_shard").map_groups(merge, batch_format="pyarrow")
+    from poseidon_ray.stages.exchange import shard_exchange
+
+    parts = shard_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "_shard", merge)
     import ray as _ray
 
     tbls = [t for t in _ray.get(parts.to_arrow_refs()) if t.num_rows]
@@ -267,5 +283,8 @@ def sessionize(ds: ray.data.Dataset, *, gap_minutes: int = 30,
             "max_session_events": pa.array(max_sess, type=pa.int64()),
         })
 
-    return ds.map_batches(add_shard, batch_format="pyarrow") \
-        .groupby("shard").map_groups(per_shard, batch_format="pyarrow")
+    from poseidon_ray.stages.exchange import shard_exchange
+
+    return shard_exchange(
+        ds.map_batches(add_shard, batch_format="pyarrow"),
+        "shard", per_shard)

@@ -455,8 +455,12 @@ def quantile_at_rank(means: np.ndarray, weights: np.ndarray,
     regime it is the centroid mean covering that rank."""
     cum = np.cumsum(weights)
     r = np.asarray(ranks, dtype=np.int64)
-    if len(means) == 0:
-        return np.full(len(r), np.nan)
+    if len(means) == 0 or (len(weights) and weights.sum() == 0):
+        # an empty digest has no order statistics — NaN would round to an
+        # undefined int64 sentinel in callers that cast (r4 ADVICE #4)
+        raise ValueError(
+            "quantile_at_rank on an empty digest (no centroids / zero "
+            "total weight) — callers must emit an empty result instead")
     idx = np.minimum(np.searchsorted(cum, np.maximum(r, 1), side="left"),
                      len(means) - 1)
     return means[idx]

@@ -73,23 +73,35 @@ def make_chunks(
             is_hot = hot_code_mask[codes]
             salt[is_hot] = flat_doc[is_hot] % np.uint64(spec.salt_factor)
 
+    # sort the FLAT stream by (part, term, salt, doc) via one composite
+    # uint64 key: groups come out already in the part order the manual
+    # exchange wants AND each group's bytes land contiguously in the
+    # encoded stream, so the binary columns build straight from_buffers —
+    # no per-group Python slicing (r4 VERDICT 'What's wrong' #2). The
+    # composite is exact: gkey < n_uniq * salt_factor and part is placed
+    # above that range. Stable part-major order == the old argsort(parts,
+    # kind="stable") over gkey-ordered groups, so output is byte-identical.
     gkey = codes.astype(np.uint64) * np.uint64(spec.salt_factor) + salt
-    order = np.lexsort((flat_doc, gkey))
-    gkey_s = gkey[order]
+    h_uniq = hash_terms(uniq_terms)
+    part_flat = ((h_uniq[codes] + salt * _SALT_MIX)
+                 % np.uint64(spec.num_partitions))
+    span = np.uint64(len(uniq_terms) * spec.salt_factor + 1)
+    ckey = part_flat * span + gkey
+    order = np.lexsort((flat_doc, ckey))
+    ckey_s = ckey[order]
     # explicit != boundaries (np.diff-with-prepend promotes uint64+int to
     # float64 on NumPy 1.x and loses exactness above 2^53)
     starts = np.flatnonzero(np.concatenate(
-        [[True], gkey_s[1:] != gkey_s[:-1]]))
-    ends = np.append(starts[1:], len(gkey_s))
+        [[True], ckey_s[1:] != ckey_s[:-1]]))
+    ends = np.append(starts[1:], len(ckey_s))
 
-    group_terms = uniq_terms[(gkey_s[starts] // np.uint64(spec.salt_factor)).astype(np.int64)]
-    group_salts = gkey_s[starts] % np.uint64(spec.salt_factor)
-    h = hash_terms(group_terms)
-    parts = ((h + group_salts * _SALT_MIX) % np.uint64(spec.num_partitions)).astype(np.uint32)
+    gkey_g = ckey_s[starts] % span
+    group_terms = uniq_terms[(gkey_g // np.uint64(spec.salt_factor)).astype(np.int64)]
+    parts = (ckey_s[starts] // span).astype(np.uint32)
 
     # pack each group's postings as delta+varint bytes RIGHT HERE (the
     # combiner compresses before the wide shuffle): one vectorized encode
-    # per column, sliced per group by byte offsets
+    # per column; per-group byte ranges are contiguous by construction
     doc_sorted = flat_doc[order]
     tf_sorted = flat_tfs[order].astype(np.uint64)
     dl_sorted = flat_dl[order].astype(np.uint64)
@@ -97,29 +109,27 @@ def make_chunks(
     doc_all = codec.encode_varint(deltas)
     tf_all = codec.encode_varint(tf_sorted)
     dl_all = codec.encode_varint(dl_sorted)
-    off_doc = np.concatenate([[0], np.cumsum(codec.varint_lengths(deltas))])
-    off_tf = np.concatenate([[0], np.cumsum(codec.varint_lengths(tf_sorted))])
-    off_dl = np.concatenate([[0], np.cumsum(codec.varint_lengths(dl_sorted))])
 
     n_groups = len(starts)
-    # emit groups sorted by part: the manual exchange then partitions each
-    # block with zero-copy searchsorted slices (no argsort + take pass)
-    gorder = np.argsort(parts, kind="stable")
-    doc_col, tf_col, dl_col = [], [], []
-    for i in gorder:
-        s, e = starts[i], ends[i]
-        doc_col.append(doc_all[off_doc[s]:off_doc[e]])
-        tf_col.append(tf_all[off_tf[s]:off_tf[e]])
-        dl_col.append(dl_all[off_dl[s]:off_dl[e]])
+    grp_bounds = np.append(starts, len(ckey_s))
+
+    def _bin_col(elem_lengths: np.ndarray, data: bytes) -> pa.Array:
+        off = np.zeros(len(elem_lengths) + 1, dtype=np.int64)
+        np.cumsum(elem_lengths, out=off[1:])
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n_groups,
+            [None, pa.py_buffer(off[grp_bounds].tobytes()),
+             pa.py_buffer(data)])
+
     return pa.table(
         {
-            "part": pa.array(parts[gorder]),
-            "term": pa.array(group_terms[gorder], type=pa.string()),
+            "part": pa.array(parts),
+            "term": pa.array(group_terms, type=pa.string()),
             "field": pa.array(np.full(n_groups, field, dtype=object), type=pa.string()),
-            "n": pa.array((ends - starts)[gorder].astype(np.uint32)),
-            "doc_bytes": pa.array(doc_col, type=pa.large_binary()),
-            "tf_bytes": pa.array(tf_col, type=pa.large_binary()),
-            "dl_bytes": pa.array(dl_col, type=pa.large_binary()),
+            "n": pa.array((ends - starts).astype(np.uint32)),
+            "doc_bytes": _bin_col(codec.varint_lengths(deltas), doc_all),
+            "tf_bytes": _bin_col(codec.varint_lengths(tf_sorted), tf_all),
+            "dl_bytes": _bin_col(codec.varint_lengths(dl_sorted), dl_all),
         },
         schema=CHUNK_SCHEMA,
     )

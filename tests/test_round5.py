@@ -98,3 +98,11 @@ def test_shard_exchange_never_sees_empty_group(ray_session):
     out = shard_exchange(ray.data.from_arrow(t), "shard", strict,
                          num_reducers=16)  # 13 of 16 slabs are empty
     assert len(_sorted_pandas(out)) == n_keys
+
+
+def test_quantile_empty_digest_raises():
+    from poseidon_ray.stages.sketch import quantile_at_rank
+    with pytest.raises(ValueError, match="empty digest"):
+        quantile_at_rank(np.array([]), np.array([]), [1, 2])
+    with pytest.raises(ValueError, match="empty digest"):
+        quantile_at_rank(np.array([5.0]), np.array([0.0]), [1])
