@@ -120,14 +120,28 @@ def train_centroids(ds: ray.data.Dataset, n_clusters: int, *, dim: int,
                     vec_col: str = "embedding") -> np.ndarray:
     """Seeded mini-KMeans (Lloyd's, driver-side numpy) on a sample bounded
     by BOTH a fraction and an absolute row cap — the training set never
-    scales past ``max_sample`` regardless of corpus size."""
+    scales past ``max_sample`` regardless of corpus size. Seeding is
+    kmeans++ (Arthur & Vassilvitskii 2007): D²-weighted greedy picks
+    spread the initial centroids, which lifts pruned-probe recall vs the
+    r4 uniform choice (r4 VERDICT 'Next round' #9)."""
     sample = ds.random_sample(sample_frac, seed=seed).limit(max_sample)
     mats = [vectors_from_arrow(b[vec_col])
             for b in sample.iter_batches(batch_format="pyarrow")
             if b.num_rows]
     x = _normalize(np.concatenate(mats).astype(np.float64))
     rng = np.random.default_rng(seed)
-    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    kk = min(n_clusters, len(x))
+    cent = np.empty((kk, x.shape[1]), dtype=np.float64)
+    cent[0] = x[rng.integers(len(x))]
+    # unit vectors: squared euclidean distance = 2 - 2*cos
+    d2 = np.maximum(2.0 - 2.0 * (x @ cent[0]), 0.0)
+    for c in range(1, kk):
+        tot = d2.sum()
+        if tot <= 0:  # all points coincide with a chosen centroid
+            cent[c] = x[rng.integers(len(x))]
+            continue
+        cent[c] = x[rng.choice(len(x), p=d2 / tot)]
+        d2 = np.minimum(d2, np.maximum(2.0 - 2.0 * (x @ cent[c]), 0.0))
     for _ in range(iters):
         assign = np.argmax(x @ cent.T, axis=1)
         for c in range(len(cent)):
@@ -168,6 +182,10 @@ def _id_fingerprint(ds: ray.data.Dataset, id_col: str) -> int:
 MAX_ROWS_PER_LIST_FILE = 200_000  # skew guard: one hot centroid must not
                                   # become one giant file/read task
 
+_IVF_ALGO = "kmeanspp-v1"  # seeding/training version: part of the manifest
+                           # compat check so layouts built by an older
+                           # algorithm rebuild instead of being reused
+
 
 def build_ivf(ds: ray.data.Dataset, out_dir: str, *, n_clusters: int = 16,
               seed: int = 42, id_col: str = "vec_id",
@@ -205,7 +223,8 @@ def build_ivf(ds: ray.data.Dataset, out_dir: str, *, n_clusters: int = 16,
             man = json.load(f)
         if (man.get("n_clusters") == n_clusters and man.get("seed") == seed
                 and man.get("n_rows") == n_rows
-                and man.get("id_fp") == id_fp):
+                and man.get("id_fp") == id_fp
+                and man.get("algo") == _IVF_ALGO):
             return man
 
     dim = len(ds.take(1)[0][vec_col])
@@ -244,8 +263,11 @@ def build_ivf(ds: ray.data.Dataset, out_dir: str, *, n_clusters: int = 16,
                          "path": pa.array(paths, type=pa.string()),
                          "rows": pa.array(rows, type=pa.int64())})
 
-    summaries = ds.map_batches(assign, batch_format="pyarrow") \
-        .groupby("cluster").map_groups(write_list, batch_format="pyarrow")
+    from poseidon_ray.stages.exchange import shard_exchange
+
+    summaries = shard_exchange(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        "cluster", write_list)
     lists: dict[str, dict] = {}
     for t in ray.get(summaries.to_arrow_refs()):
         if t.num_rows == 0:   # empty blocks may carry the upstream schema
@@ -260,7 +282,7 @@ def build_ivf(ds: ray.data.Dataset, out_dir: str, *, n_clusters: int = 16,
         e["paths"].sort()
     man = {"n_clusters": n_clusters, "seed": seed, "n_rows": n_rows,
            "id_fp": id_fp, "dim": dim, "id_col": id_col, "vec_col": vec_col,
-           "lists": lists}
+           "algo": _IVF_ALGO, "lists": lists}
     with open(man_path + ".tmp", "w") as f:
         json.dump(man, f)
     os.replace(man_path + ".tmp", man_path)
