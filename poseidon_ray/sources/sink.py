@@ -96,8 +96,10 @@ def write_partitioned(ds: ray.data.Dataset, out_dir: str, *,
             "input_mismatch": pa.array([False]),
         })
 
-    out = ds.map_batches(add_shard, batch_format="pyarrow") \
-        .groupby("_oshard").map_groups(write_shard, batch_format="pyarrow")
+    from poseidon_ray.stages.exchange import shard_exchange
+
+    out = shard_exchange(ds.map_batches(add_shard, batch_format="pyarrow"),
+                         "_oshard", write_shard)
     tbls = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     manifest = pa.concat_tables(tbls).sort_by("shard") if tbls \
         else pa.table({"shard": pa.array([], type=pa.int64()),
