@@ -198,8 +198,10 @@ def build_bloom(ds: ray.data.Dataset, col: str, *, n_keys_hint: int,
                          "bits": pa.array([bits.tobytes()],
                                           type=pa.large_binary())})
 
-    rows = ds.map_batches(set_rows, batch_format="pyarrow") \
-        .groupby("_shard").map_groups(build_shard, batch_format="pyarrow")
+    from poseidon_ray.stages.exchange import shard_exchange
+
+    rows = shard_exchange(ds.map_batches(set_rows, batch_format="pyarrow"),
+                          "_shard", build_shard)
     empty = np.zeros((shard_bits + 7) // 8, dtype=np.uint8)
     shards: list = [None] * num_shards
     for t in _ray.get(rows.to_arrow_refs()):
@@ -233,7 +235,11 @@ class BloomMember:
     def _shard(self, s: int) -> np.ndarray:
         b = self._cache.get(s)
         if b is None:
-            b = self._ray.get(self._refs[s])
+            ref = self._refs[s]
+            # a str entry is a persisted shard file (load_bloom): read it
+            # from disk lazily, at most once per (actor, shard)
+            b = (np.fromfile(ref, dtype=np.uint8) if isinstance(ref, str)
+                 else self._ray.get(ref))
             self._cache[s] = b
         return b
 
@@ -251,6 +257,65 @@ class BloomMember:
         if self._mode == "drop_members":
             return t.filter(pa.array(~member))
         return t.append_column(self._out, pa.array(member))
+
+
+@ray.remote
+def _persist_bloom_shard(out_dir: str, s: int, bits: np.ndarray) -> int:
+    import os
+
+    path = os.path.join(out_dir, f"bloom-{s:05d}.bin")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(bits.tobytes())
+    os.replace(tmp, path)  # atomic on POSIX
+    return len(bits)
+
+
+def save_bloom(bloom, out_dir: str) -> dict:
+    """Persist a built Bloom filter: one ``bloom-SSSSS.bin`` per bitmap
+    shard (written by parallel tasks, atomic tmp+rename) + a
+    ``bloom.json`` params manifest written LAST — its presence certifies
+    the set. A persisted seen-set survives across runs/sessions: the
+    cross-day URL-dedup move the reference's day-partitioned metadata
+    enables (service docformat day buckets), r4 VERDICT 'Next round' #7."""
+    import json
+    import os
+
+    import ray as _ray
+
+    refs, m_bits, num_hashes, num_shards = bloom
+    os.makedirs(out_dir, exist_ok=True)
+    _ray.get([_persist_bloom_shard.remote(out_dir, s, refs[s])
+              for s in range(num_shards)])
+    man = {"format": "bloom-v1", "m_bits": int(m_bits),
+           "num_hashes": int(num_hashes), "num_shards": int(num_shards)}
+    mpath = os.path.join(out_dir, "bloom.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(man, f)
+    os.replace(mpath + ".tmp", mpath)
+    return man
+
+
+def load_bloom(out_dir: str):
+    """Handle for a persisted Bloom filter, drop-in for
+    ``bloom_annotate``: shard entries are FILE PATHS a ``BloomMember``
+    actor reads lazily, at most once each — no bitmap is loaded until a
+    batch actually hashes into its shard."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "bloom.json")) as f:
+        man = json.load(f)
+    if man.get("format") != "bloom-v1":
+        raise ValueError(f"unknown bloom manifest format in {out_dir}")
+    paths = [os.path.join(out_dir, f"bloom-{s:05d}.bin")
+             for s in range(man["num_shards"])]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"bloom store {out_dir} is missing shard files {missing[:3]} "
+            "(manifest certifies a complete write — the store is corrupt)")
+    return paths, man["m_bits"], man["num_hashes"], man["num_shards"]
 
 
 def bloom_annotate(ds: ray.data.Dataset, bloom, col: str, *,

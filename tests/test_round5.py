@@ -159,3 +159,67 @@ class TestCopartitionedAntiJoin:
         df = _sorted_pandas(out)
         assert len(df) == 97
         assert not set(df["doc_id"]) & {5, 50, 95}
+
+
+class TestBloomPersistence:
+    """r4 VERDICT 'Next round' #7: a Bloom seen-set built in ONE Ray
+    session survives to a FRESH session (subprocess owns the build
+    session; this pytest session loads + filters)."""
+
+    def test_build_save_load_filter_across_sessions(self, ray_session,
+                                                    tmp_path):
+        import subprocess
+        import sys
+
+        store = str(tmp_path / "bloom_store")
+        build_script = f"""
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import pyarrow as pa
+from poseidon_ray.stages import sketch
+seen = ray.data.from_arrow(pa.table(
+    {{"url": pa.array([f"https://example.com/{{i}}" for i in range(2000)])}}))
+bloom = sketch.build_bloom(seen, "url", n_keys_hint=2000)
+sketch.save_bloom(bloom, {store!r})
+ray.shutdown()
+print("SAVED")
+"""
+        r = subprocess.run([sys.executable, "-c", build_script],
+                           capture_output=True, text=True, cwd="/root/repo")
+        assert "SAVED" in r.stdout, r.stderr[-2000:]
+
+        from poseidon_ray.stages import sketch
+
+        bloom = sketch.load_bloom(store)
+        assert bloom[1] >= 2000 * 10  # m_bits
+        probe = pa.table({
+            "url": pa.array(
+                [f"https://example.com/{i}" for i in range(0, 2000, 100)]
+                + [f"https://other.org/{i}" for i in range(5000)]),
+        })
+        out = sketch.bloom_annotate(
+            ray.data.from_arrow(probe), bloom, "url").to_pandas()
+        seen_mask = out["url"].str.startswith("https://example.com/")
+        # no false negatives, ever
+        assert out.loc[seen_mask, "maybe_seen"].all()
+        # FP rate over 5000 unseen keys stays near the designed ~0.8%
+        fp = out.loc[~seen_mask, "maybe_seen"].mean()
+        assert fp <= 0.03, fp
+
+    def test_load_refuses_missing_shard(self, ray_session, tmp_path):
+        import os
+
+        from poseidon_ray.stages import sketch
+
+        store = str(tmp_path / "bloom_bad")
+        seen = ray.data.from_arrow(pa.table(
+            {"url": pa.array([f"k{i}" for i in range(100)])}))
+        bloom = sketch.build_bloom(seen, "url", n_keys_hint=100,
+                                   num_shards=8)
+        sketch.save_bloom(bloom, store)
+        os.remove(os.path.join(store, "bloom-00003.bin"))
+        with pytest.raises(FileNotFoundError, match="missing shard"):
+            sketch.load_bloom(store)
