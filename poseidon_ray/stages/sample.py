@@ -130,5 +130,7 @@ def stratified_sample(ds: ray.data.Dataset, group_col: str, k: int, *,
     def merge(g: pa.Table) -> pa.Table:
         return _rank_select(g).drop_columns(["_bucket", "_gshard"])
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("_gshard").map_groups(merge, batch_format="pyarrow")
+    from poseidon_ray.stages.exchange import shard_exchange
+
+    return shard_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "_gshard", merge)

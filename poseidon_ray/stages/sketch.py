@@ -111,8 +111,9 @@ def hll_count_distinct_by(ds: ray.data.Dataset, key_col: str, val_col: str,
         return pa.table({key_col: pa.array(keys[starts]),
                          "n_distinct_est": pa.array(est)})
 
-    return partials.groupby("_shard").map_groups(merge,
-                                                 batch_format="pyarrow")
+    from poseidon_ray.stages.exchange import shard_exchange
+
+    return shard_exchange(partials, "_shard", merge)
 
 
 def hll_count_distinct(ds: ray.data.Dataset, val_col: str, *,
@@ -410,8 +411,10 @@ def tdigest_centroids(ds: ray.data.Dataset, col: str, *,
         return pa.table({"mean": pa.array(m, type=pa.float64()),
                          "weight": pa.array(w, type=pa.int64())})
 
-    merged = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("_shard").map_groups(merge, batch_format="pyarrow")
+    from poseidon_ray.stages.exchange import shard_exchange
+
+    merged = shard_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "_shard", merge)
     rows = merged.take_all()
     if not rows:
         return np.empty(0, np.float64), np.empty(0, np.int64)
@@ -490,8 +493,10 @@ def tdigest_centroids_by(ds: ray.data.Dataset, key_col: str, col: str, *,
                                np.empty(0, np.int64), type=pa.int64()),
         })
 
-    merged = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("_shard").map_groups(merge, batch_format="pyarrow")
+    from poseidon_ray.stages.exchange import shard_exchange
+
+    merged = shard_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "_shard", merge)
     result: dict[object, tuple[np.ndarray, np.ndarray]] = {}
     import ray as _ray
 
@@ -626,8 +631,9 @@ def heavy_hitters(ds: ray.data.Dataset, *, k: int = 50,
         return pa.table({"term": pa.array(ut[top], type=pa.string()),
                          "cnt": pa.array(sums[top], type=pa.int64())})
 
-    rows = partials.groupby("_shard").map_groups(
-        merge, batch_format="pyarrow").take_all()
+    from poseidon_ray.stages.exchange import shard_exchange
+
+    rows = shard_exchange(partials, "_shard", merge).take_all()
     err = sum(r["cnt"] for r in rows if r["term"] is None)
     cand = [(r["term"], r["cnt"]) for r in rows if r["term"] is not None]
     cand.sort(key=lambda x: (-x[1], x[0]))
