@@ -283,6 +283,20 @@ def q_events_window(sf_dir: str) -> pa.Table:
     return out.sort_by([("window_us", "ascending"), ("event_type", "ascending")])
 
 
+def q_events_window_uv(sf_dir: str) -> pa.Table:
+    """EXACT PV/UV per (tumbling daily window, event_type) — the windowed
+    form of events_pv: distinct (window, type, user) triples resolve
+    inside one coarse shard each, final rows emit straight from the
+    merge (no driver-side distinct, no driver sum over windowed keys)."""
+    from poseidon_ray.stages.events import windowed_pv_uv
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type", "user_id"])
+    out = _collect(windowed_pv_uv(ds, window_hours=24))
+    return out.sort_by([("window_us", "ascending"),
+                        ("event_type", "ascending")])
+
+
 def q_events_hopping(sf_dir: str) -> pa.Table:
     """HOPPING windows (24h span, 6h hop -> each event in 4 overlapping
     windows); replication is inside the per-block partial, so the shuffle
@@ -360,6 +374,23 @@ def q_heavy_hitters(sf_dir: str) -> pa.Table:
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["text"])
     return sketch.heavy_hitters(ds, k=50, num_counters=200_000)
+
+
+def q_heavy_hitters_by_lang(sf_dir: str) -> pa.Table:
+    """Per-language top-10 terms via the grouped Misra-Gries sketch
+    (training-mix profiling: what dominates each language slice). Exact
+    regime at oracle scale (num_counters >= per-(block, key) vocabulary
+    -> zero deductions, count_lo == count_hi == cf) — value-identical to
+    the DuckDB PARTITION BY row_number twin."""
+    from poseidon_ray.stages import sketch
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang", "text"])
+    out = _collect(sketch.heavy_hitters_by(ds, "lang", k=10,
+                                           num_counters=200_000))
+    return out.sort_by([("lang", "ascending"),
+                        ("count_lo", "descending"),
+                        ("term", "ascending")])
 
 
 def q_hh_invariants(sf_dir: str) -> pa.Table:
@@ -1196,6 +1227,12 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(round(sum(value) * 100) AS BIGINT) AS value_r2 "
         "FROM events GROUP BY 1, 2 ORDER BY window_us, event_type"
     ),
+    "events_window_uv": (
+        "SELECT CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 AS BIGINT)"
+        " AS window_us, event_type, CAST(count(*) AS BIGINT) AS pv, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS uv "
+        "FROM events GROUP BY 1, 2 ORDER BY window_us, event_type"
+    ),
     # hopping windows: 24h span / 6h hop -> 4 hop-aligned windows per event
     "events_hopping": (
         "SELECT CAST(ws AS BIGINT) AS window_us, event_type, "
@@ -1330,6 +1367,18 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT term, CAST(c AS BIGINT) AS count_lo, "
         "CAST(c AS BIGINT) AS count_hi FROM cf "
         "ORDER BY c DESC, term LIMIT 50"
+    ),
+    # grouped Misra-Gries: per-language top-10, exact at oracle scale
+    "heavy_hitters_by_lang": (
+        "WITH toks AS (SELECT lang, unnest(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+')) AS term FROM documents), "
+        "cf AS (SELECT lang, term, count(*) AS c FROM toks "
+        "WHERE term <> '' GROUP BY lang, term) "
+        "SELECT lang, term, CAST(c AS BIGINT) AS count_lo, "
+        "CAST(c AS BIGINT) AS count_hi FROM cf "
+        "QUALIFY row_number() OVER (PARTITION BY lang "
+        "ORDER BY c DESC, term) <= 10 "
+        "ORDER BY lang, count_lo DESC, term"
     ),
     # self-check: approximate-regime Misra-Gries bounds + completeness;
     # oracle row set is EMPTY — any violation row fails the gate
@@ -1485,6 +1534,7 @@ QUERIES = {
     "quality_stats": q_quality_stats,
     "events_pv": q_events_pv,
     "events_window": q_events_window,
+    "events_window_uv": q_events_window_uv,
     "events_hopping": q_events_hopping,
     "sessions": q_sessions,
     "ann_topk": q_ann_topk,
@@ -1499,6 +1549,7 @@ QUERIES = {
     "hll_invariants": q_hll_invariants,
     "df_invariants": q_df_invariants,
     "heavy_hitters": q_heavy_hitters,
+    "heavy_hitters_by_lang": q_heavy_hitters_by_lang,
     "hh_invariants": q_hh_invariants,
     "embed_invariants": q_embed_invariants,
     "dedup_clusters": q_dedup_clusters,

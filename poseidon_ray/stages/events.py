@@ -215,6 +215,125 @@ def pv_uv(ds: ray.data.Dataset, *, type_col: str = "event_type",
                      "pv": pa.array(pv), "uv": pa.array(uv)})
 
 
+def windowed_pv_uv(ds: ray.data.Dataset, *, window_hours: int = 24,
+                   ts_col: str = "ts", type_col: str = "event_type",
+                   user_col: str = "user_id",
+                   num_shards: int = N_WINDOW_SHARDS) -> ray.data.Dataset:
+    """EXACT PV/UV per (tumbling window, event_type), fully distributed —
+    the windowed form of ``pv_uv`` (r4 close-out idea: windowed_aggregate
+    deliberately skips distinct users; this operator is the exact path
+    for them):
+
+    - per block, ONE pass emits (a) pv partial rows — occurrence counts
+      per (window, type) — and (b) block-DISTINCT (window, type, user)
+      triples. BOTH kinds key on ``hash(window, type) % num_shards``, so
+      every row about one (window, type) lands in ONE merge group.
+    - per shard: pv = sum of partials; uv = count of
+      cross-block-deduped triples; FINAL rows emit directly from the
+      shard — no driver merge (windows x types is too large for the
+      global ``pv_uv``'s driver-side sum; distinct (window, type, user)
+      triples ride the exchange once each — what exact distinct costs,
+      with the per-key HLL as the approximate escape hatch).
+
+    Returns a Dataset (window_us, event_type, pv, uv).
+    """
+    from poseidon_ray.functions.hashing import hash_terms
+    from poseidon_ray.stages.exchange import shard_exchange
+
+    win_us = np.int64(window_hours * _US_PER_HOUR)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = (t[ts_col].to_numpy(zero_copy_only=False)
+                 .astype("datetime64[us]").astype(np.int64))
+        win = (ts_us // win_us) * win_us
+        types = np.asarray(t[type_col].to_numpy(zero_copy_only=False),
+                           dtype=object)
+        users = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        utypes, tcode = np.unique(types, return_inverse=True)
+        # composite (window, type) key: window ids are epoch/win_us
+        # (~10^4-10^5), so wid * ntypes never nears int64
+        key = (win // win_us) * len(utypes) + tcode
+        # pv partials: counts per key
+        order = np.argsort(key, kind="stable")
+        k_s = key[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], k_s[1:] != k_s[:-1]]))
+        counts = np.diff(np.append(starts, len(k_s)))
+        pv_win, pv_tc = win[order][starts], tcode[order][starts]
+        # block-distinct (window, type, user) triples
+        uorder = np.lexsort((users, key))
+        uk, uu = key[uorder], users[uorder]
+        ufirst = np.zeros(len(uorder), dtype=bool)
+        if len(uorder):
+            ufirst[0] = True
+            ufirst[1:] = (uk[1:] != uk[:-1]) | (uu[1:] != uu[:-1])
+        d_win = win[uorder][ufirst]
+        d_tc = tcode[uorder][ufirst]
+        d_user = uu[ufirst]
+        win_all = np.concatenate([pv_win, d_win])
+        typ_all = np.concatenate([utypes[pv_tc], utypes[d_tc]])
+        val_all = np.concatenate([counts.astype(np.int64), d_user])
+        kind = np.zeros(len(win_all), dtype=np.int64)
+        kind[len(pv_win):] = 1
+        sh = ((hash_terms(typ_all) ^ (win_all.astype(np.uint64) * _SHARD_MIX))
+              % np.uint64(num_shards)).astype(np.int64)
+        return pa.table({
+            "_shard": pa.array(sh),
+            "window_us": pa.array(win_all, type=pa.int64()),
+            "event_type": pa.array(typ_all, type=pa.string()),
+            "kind": pa.array(kind),
+            "val": pa.array(val_all, type=pa.int64()),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        win = g["window_us"].to_numpy(zero_copy_only=False)
+        typ = np.asarray(g["event_type"].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        val = g["val"].to_numpy(zero_copy_only=False)
+        utypes, tcode = np.unique(typ, return_inverse=True)
+        key = (win // win_us) * len(utypes) + tcode
+        ispv = kind == 0
+        # pv: sum partials per key
+        pk, pval = key[ispv], val[ispv]
+        porder = np.argsort(pk, kind="stable")
+        pk_s = pk[porder]
+        pstarts = np.flatnonzero(np.concatenate(
+            [[True], pk_s[1:] != pk_s[:-1]]))
+        pv = np.add.reduceat(pval[porder], pstarts)
+        out_keys = pk_s[pstarts]
+        rep = np.flatnonzero(ispv)[porder[pstarts]]  # one source row per key
+        # uv: dedup (key, user) across blocks, then count per key
+        uk, uu = key[~ispv], val[~ispv]
+        uorder = np.lexsort((uu, uk))
+        uk_s, uu_s = uk[uorder], uu[uorder]
+        ufirst = np.zeros(len(uorder), dtype=bool)
+        if len(uorder):
+            ufirst[0] = True
+            ufirst[1:] = (uk_s[1:] != uk_s[:-1]) | (uu_s[1:] != uu_s[:-1])
+        duk = uk_s[ufirst]
+        ustarts = np.flatnonzero(np.concatenate(
+            [[True], duk[1:] != duk[:-1]]))
+        uv_keys = duk[ustarts]
+        uv_counts = np.diff(np.append(ustarts, len(duk)))
+        # every key with events has both kinds; align defensively anyway
+        uv = np.zeros(len(out_keys), dtype=np.int64)
+        if len(uv_keys):
+            pos = np.minimum(np.searchsorted(uv_keys, out_keys),
+                             len(uv_keys) - 1)
+            hit = uv_keys[pos] == out_keys
+            uv[hit] = uv_counts[pos[hit]]
+        return pa.table({
+            "window_us": pa.array(win[rep], type=pa.int64()),
+            "event_type": pa.array(typ[rep], type=pa.string()),
+            "pv": pa.array(pv, type=pa.int64()),
+            "uv": pa.array(uv, type=pa.int64()),
+        })
+
+    return shard_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "_shard", merge)
+
+
 N_USER_SHARDS = 256  # coarse shuffle key: O(shards) Python group calls, not
                      # one per user (r2 VERDICT 'What's wrong' #5: at 10^9
                      # users the per-user map_groups made 10^9 tiny groups)

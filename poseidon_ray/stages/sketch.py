@@ -643,3 +643,118 @@ def heavy_hitters(ds: ray.data.Dataset, *, k: int = 50,
         "count_lo": pa.array([c[1] for c in cand], type=pa.int64()),
         "count_hi": pa.array([c[1] + err for c in cand], type=pa.int64()),
     })
+
+
+def heavy_hitters_by(ds: ray.data.Dataset, key_col: str, *, k: int = 10,
+                     num_counters: int = 4096, text_col: str = "text",
+                     num_shards: int = N_SKETCH_SHARDS) -> ray.data.Dataset:
+    """Per-key approximate top-k terms by total term frequency — the
+    grouped form of ``heavy_hitters`` (top terms per language/domain, the
+    training-mix profiling rollup). Misra-Gries summaries are kept per
+    (block, key); each key's candidate rows AND its per-block deduction
+    sentinels shard on ``hash(key)``, so a key resolves ENTIRELY inside
+    one merge group and the final per-key top-k emits straight from the
+    shard — no driver-side merge across keys.
+
+    Returns a Dataset of (key, term, count_lo, count_hi), <= k rows per
+    key, with the Misra-Gries bound count_lo <= cf(key, term) <=
+    count_lo + sum(per-key deductions) = count_hi. With ``num_counters``
+    >= distinct terms per (block, key) all deductions are 0 and the
+    result is the EXACT per-key top-k (the SQL-oracle regime).
+
+    Granularity note: the per-block Python loop is over the block's
+    DISTINCT KEYS (languages/domains — small by design); hot keys cost
+    candidate rows, never corpus rows.
+    """
+    from poseidon_ray.functions.tokenize import tokenize_simple_flat
+
+    empty = pa.table({"_shard": pa.array([], type=pa.int64()),
+                      key_col: pa.array([], type=pa.string()),
+                      "term": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        terms, tfs, parents, _ = tokenize_simple_flat(
+            t[text_col].combine_chunks())
+        if len(terms) == 0:
+            return empty
+        keys = np.asarray(t[key_col].to_numpy(zero_copy_only=False),
+                          dtype=object)
+        kflat = keys[parents]
+        uk, kinv = np.unique(kflat, return_inverse=True)
+        ut_all, tinv = np.unique(terms, return_inverse=True)
+        comp = kinv.astype(np.int64) * len(ut_all) + tinv
+        order = np.argsort(comp, kind="stable")
+        comp_s = comp[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], comp_s[1:] != comp_s[:-1]]))
+        cnt = np.add.reduceat(tfs[order].astype(np.int64), starts)
+        g_comp = comp_s[starts]
+        g_k = (g_comp // len(ut_all)).astype(np.int64)
+        g_t = (g_comp % len(ut_all)).astype(np.int64)
+        out_k, out_t, out_c = [], [], []
+        kstarts = np.flatnonzero(np.concatenate(
+            [[True], g_k[1:] != g_k[:-1]]))
+        kends = np.append(kstarts[1:], len(g_k))
+        for s, e in zip(kstarts, kends):  # per distinct KEY in this block
+            kc, kt = cnt[s:e], g_t[s:e]
+            key_val = uk[g_k[s]]
+            if len(kc) > num_counters:
+                o = np.argsort(kc)[::-1]
+                d = kc[o[num_counters]]
+                keep = o[:num_counters]
+                kt, kc = kt[keep], kc[keep] - d
+                pos = kc > 0
+                kt, kc = kt[pos], kc[pos]
+            else:
+                d = np.int64(0)
+            out_k.append(np.full(len(kt) + 1, key_val, dtype=object))
+            out_t.append(np.concatenate([ut_all[kt], [None]]))
+            out_c.append(np.concatenate([kc, [d]]))
+        okeys = np.concatenate(out_k)
+        sh = (hash_terms(okeys) % np.uint64(num_shards)).astype(np.int64)
+        return pa.table({
+            "_shard": pa.array(sh),
+            key_col: pa.array(okeys, type=pa.string()),
+            "term": pa.array(np.concatenate(out_t), type=pa.string()),
+            "cnt": pa.array(np.concatenate(out_c), type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g[key_col].to_numpy(zero_copy_only=False),
+                          dtype=object)
+        terms = g["term"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        is_ded = np.array([x is None for x in terms])
+        uk = np.unique(keys)
+        out = []
+        for key_val in uk:  # distinct keys per shard — small by design
+            mine = keys == key_val
+            d_total = int(cnt[mine & is_ded].sum())
+            sel = mine & ~is_ded
+            kt, kc = terms[sel], cnt[sel]
+            order = np.argsort(kt, kind="stable")
+            kt, kc = kt[order], kc[order]
+            starts = np.flatnonzero(np.concatenate(
+                [[True], kt[1:] != kt[:-1]]))
+            sums = np.add.reduceat(kc, starts)
+            ut = kt[starts]
+            top = np.lexsort((ut, -sums))[:k]  # (count desc, term asc)
+            out.append(pa.table({
+                key_col: pa.array([key_val] * len(top), type=pa.string()),
+                "term": pa.array(ut[top], type=pa.string()),
+                "count_lo": pa.array(sums[top], type=pa.int64()),
+                "count_hi": pa.array(sums[top] + d_total, type=pa.int64()),
+            }))
+        if not out:
+            return pa.table({key_col: pa.array([], type=pa.string()),
+                             "term": pa.array([], type=pa.string()),
+                             "count_lo": pa.array([], type=pa.int64()),
+                             "count_hi": pa.array([], type=pa.int64())})
+        return pa.concat_tables(out)
+
+    from poseidon_ray.stages.exchange import shard_exchange
+
+    return shard_exchange(partials, "_shard", merge)

@@ -223,3 +223,38 @@ print("SAVED")
         os.remove(os.path.join(store, "bloom-00003.bin"))
         with pytest.raises(FileNotFoundError, match="missing shard"):
             sketch.load_bloom(store)
+
+
+class TestHeavyHittersBy:
+    def test_approx_regime_bounds_per_key(self, ray_session):
+        """Tiny num_counters forces real per-(block, key) deductions; every
+        reported (key, term) must satisfy count_lo <= exact cf <= count_hi."""
+        import duckdb
+
+        from poseidon_ray.stages import sketch
+
+        sf = "/root/testdata/sf0.001/documents.parquet"
+        out = sketch.heavy_hitters_by(
+            ray.data.read_parquet(sf, columns=["lang", "text"]),
+            "lang", k=5, num_counters=8).to_pandas()
+        assert len(out) > 0
+        exact = duckdb.sql(f"""
+            WITH toks AS (SELECT lang, unnest(regexp_split_to_array(
+                lower(text), '[^a-z0-9]+')) AS term
+              FROM read_parquet('{sf}'))
+            SELECT lang, term, count(*) AS c FROM toks
+            WHERE term <> '' GROUP BY lang, term""").df()
+        cf = {(r.lang, r.term): r.c for r in exact.itertuples()}
+        for r in out.itertuples():
+            c = cf.get((r.lang, r.term), 0)
+            assert r.count_lo <= c <= r.count_hi, (r, c)
+
+    def test_exact_regime_no_slack(self, ray_session):
+        from poseidon_ray.stages import sketch
+
+        out = sketch.heavy_hitters_by(
+            ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                  columns=["lang", "text"]),
+            "lang", k=5, num_counters=200_000).to_pandas()
+        assert (out.count_lo == out.count_hi).all()
+        assert (out.groupby("lang").size() <= 5).all()
