@@ -69,13 +69,16 @@ def _dct2(block: np.ndarray) -> np.ndarray:
     return _A @ block @ _A.T
 
 
-def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+def _quality_tables(quality: int,
+                    max_val: int = 255) -> tuple[np.ndarray, np.ndarray]:
+    """``max_val=65535`` for Pq=1 (16-bit) tables: low qualities then keep
+    their true step sizes instead of clipping at the 8-bit ceiling."""
     quality = min(100, max(1, quality))
     scale = 5000 / quality if quality < 50 else 200 - 2 * quality
     out = []
     for base in (_Q_LUM, _Q_CHROM):
         t = np.floor((base * scale + 50) / 100)
-        out.append(np.clip(t, 1, 255))
+        out.append(np.clip(t, 1, max_val))
     return out[0], out[1]
 
 
@@ -314,12 +317,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 p = 0
                 while p < len(seg):
                     prec, tid = seg[p] >> 4, seg[p] & 0xF
-                    if prec:
-                        raise ValueError("16-bit quant tables not supported")
                     tab = np.zeros(64)
-                    tab[_ZIGZAG] = np.frombuffer(seg, np.uint8, 64, p + 1)
+                    if prec:                     # Pq=1: 16-bit big-endian
+                        tab[_ZIGZAG] = np.frombuffer(seg, ">u2", 64, p + 1) \
+                            .astype(np.float64)
+                        p += 129
+                    else:
+                        tab[_ZIGZAG] = np.frombuffer(seg, np.uint8, 64, p + 1)
+                        p += 65
                     qt[tid] = tab.reshape(8, 8)
-                    p += 65
             elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/1 baseline, SOF2 prog
                 _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
                 comps = []
@@ -346,6 +352,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             elif marker == 0xDA:                 # SOS — one of possibly many
                 if w is None:
                     raise ValueError("JPEG missing SOF")
+                if h == 0:
+                    # DNL stream (B.2.5): SOF declared 0 lines; the real
+                    # height arrives in the DNL segment after the first
+                    # scan. 0xFFDC past this point is unambiguous — inside
+                    # entropy data 0xFF is always escaped with 0x00 or a
+                    # RSTn (D0-D7) byte.
+                    dnl_at = payload.find(b"\xff\xdc", pos)
+                    if dnl_at < 0:
+                        raise ValueError(
+                            "JPEG SOF declares 0 lines but no DNL marker "
+                            "follows the scan")
+                    (h,) = struct.unpack(
+                        ">H", payload[dnl_at + 4:dnl_at + 6])
+                    if h == 0:
+                        raise ValueError("DNL declares 0 lines")
                 if coef is None:
                     hmax = max(c["h"] for c in comps)
                     vmax = max(c["v"] for c in comps)
@@ -529,7 +550,9 @@ def _component_coefficients(pixels: np.ndarray, quality: int):
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 90,
                 subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                quant_precision: int = 8,
+                dnl: bool = False) -> bytes:
     """uint8 (h, w) | (h, w, 1) grayscale or (h, w, 3) RGB -> baseline
     JPEG, per-image canonical Huffman tables. ``subsampling``: "444"
     (default, no subsampling) or "420" (2x2-mean chroma downsample,
@@ -537,7 +560,11 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     decoder's generic MCU walk and chroma upsample for real).
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs (byte-aligned, DC predictors reset) — the error-resilience
-    feature real camera/web JPEGs carry."""
+    feature real camera/web JPEGs carry. ``quant_precision=16`` writes
+    DQT with Pq=1 (16-bit big-endian entries, T.81 extended precision).
+    ``dnl=True`` declares 0 lines in SOF and appends the real height as
+    a DNL segment after the scan (B.2.5 — the streaming-source shape
+    where height is unknown until the last row)."""
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, nc = pixels.shape
@@ -546,7 +573,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
     use420 = subsampling == "420" and nc == 3
-    qlum, qchrom = _quality_tables(quality)
+    qlum, qchrom = _quality_tables(
+        quality, 65535 if quant_precision == 16 else 255)
     f = pixels.astype(np.float64)
     if nc == 3:
         r, g, b = f[..., 0], f[..., 1], f[..., 2]
@@ -653,10 +681,16 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     def seg(marker: int, body: bytes) -> None:
         out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body)
 
+    if quant_precision not in (8, 16):
+        raise ValueError("quant_precision must be 8 or 16")
     for tid, q in enumerate([qlum] + ([qchrom] if nc == 3 else [])):
-        zz = q.reshape(64)[_ZIGZAG].astype(np.uint8)
-        seg(0xDB, bytes([tid]) + zz.tobytes())
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+        if quant_precision == 16:
+            zz16 = q.reshape(64)[_ZIGZAG].astype(">u2")
+            seg(0xDB, bytes([0x10 | tid]) + zz16.tobytes())
+        else:
+            zz = q.reshape(64)[_ZIGZAG].astype(np.uint8)
+            seg(0xDB, bytes([tid]) + zz.tobytes())
+    sof = struct.pack(">BHHB", 8, 0 if dnl else h, w, nc)
     for ci in range(nc):
         fh, fv = factors[ci]
         sof += bytes([ci + 1, (fh << 4) | fv, tqs[ci]])
@@ -718,6 +752,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
                         run = 0
                     k += 1
     out.extend(bwr.flush())
+    if dnl:                                      # B.2.5: NL after 1st scan
+        seg(0xDC, struct.pack(">H", h))
     out.extend(b"\xff\xd9")                      # EOI
     return bytes(out)
 

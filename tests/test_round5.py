@@ -258,3 +258,84 @@ class TestHeavyHittersBy:
             "lang", k=5, num_counters=200_000).to_pandas()
         assert (out.count_lo == out.count_hi).all()
         assert (out.groupby("lang").size() <= 5).all()
+
+
+class TestJpegEdges:
+    """r5: DNL (height-after-scan) streams + 16-bit (Pq=1) quant tables."""
+
+    def _img(self, h=37, w=52, seed=5):
+        rng = np.random.default_rng(seed)
+        base = np.linspace(0, 255, w, dtype=np.float64)[None, :]
+        img = np.clip(base + rng.normal(0, 12, (h, w)), 0, 255)
+        return img.astype(np.uint8)
+
+    def test_dnl_stream_decodes_identically(self):
+        from poseidon_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        img = self._img()
+        plain = encode_jpeg(img, quality=85)
+        dnl = encode_jpeg(img, quality=85, dnl=True)
+        assert plain != dnl
+        # SOF height field is 0 in the DNL stream
+        sof_at = dnl.find(b"\xff\xc0")
+        assert dnl[sof_at + 5:sof_at + 7] == b"\x00\x00"
+        assert b"\xff\xdc" in dnl
+        a, b = decode_jpeg(plain), decode_jpeg(dnl)
+        assert a.shape == b.shape == (37, 52, 1)
+        assert (a == b).all()
+
+    def test_dnl_missing_raises(self):
+        from poseidon_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        blob = bytearray(encode_jpeg(self._img(), quality=85, dnl=True))
+        at = blob.find(b"\xff\xdc")
+        blob[at + 1] = 0xFE  # turn DNL into a COM marker
+        with pytest.raises(ValueError, match="no DNL"):
+            decode_jpeg(bytes(blob))
+
+    def test_16bit_quant_roundtrip_same_as_8bit(self):
+        from poseidon_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        img = self._img(40, 40)
+        # quality high enough that tables fit 8 bits: identical pixel
+        # output, only the DQT encoding differs (Pq=1, >u2)
+        a = decode_jpeg(encode_jpeg(img, quality=90))
+        blob16 = encode_jpeg(img, quality=90, quant_precision=16)
+        dqt_at = blob16.find(b"\xff\xdb")
+        assert blob16[dqt_at + 4] >> 4 == 1  # Pq=1
+        b = decode_jpeg(blob16)
+        assert (a == b).all()
+
+    def test_16bit_quant_tables_above_255(self):
+        from poseidon_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        img = self._img(48, 48)
+        # quality 10 pushes base luma steps to ~5x (max 605 > 255): only
+        # representable with Pq=1. Decode must succeed and keep the
+        # coarse structure (DC step is 80 -> generous tolerance).
+        blob = encode_jpeg(img, quality=10, quant_precision=16)
+        # the stream genuinely carries >255 entries (the 8-bit path clips)
+        dqt_at = blob.find(b"\xff\xdb")
+        entries = np.frombuffer(blob, ">u2", 64, dqt_at + 5)
+        assert entries.max() > 255
+        out = decode_jpeg(blob)
+        assert out.shape == (48, 48, 1)
+        assert abs(out.astype(float).mean() - img.mean()) < 40
+        # a high-contrast checkerboard excites the >255-step coefficients:
+        # the 16-bit stream must then differ from the 8-bit-clipped one
+        cb = (np.indices((48, 48)).sum(axis=0) % 2 * 255).astype(np.uint8)
+        out16 = decode_jpeg(encode_jpeg(cb, quality=10, quant_precision=16))
+        out8 = decode_jpeg(encode_jpeg(cb, quality=10))
+        assert not (out16 == out8).all()
+
+    def test_dnl_with_restart_and_420(self):
+        from poseidon_ray.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (33, 49, 3), dtype=np.uint8)
+        plain = encode_jpeg(img, quality=80, subsampling="420",
+                            restart_interval=2)
+        dnl = encode_jpeg(img, quality=80, subsampling="420",
+                          restart_interval=2, dnl=True)
+        a, b = decode_jpeg(plain), decode_jpeg(dnl)
+        assert (a == b).all()
