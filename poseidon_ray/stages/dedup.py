@@ -625,7 +625,9 @@ def _materialized_member_filter(
 # ------------------------------------------------------------------ minhash LSH
 
 class MinHashStage:
-    """Actor-pool batch fn: doc -> ``bands`` KEYS-ONLY band rows (shard,
+    """Batch fn (callable class, but STATELESS — params only — so the
+    minhash pipelines run it as a task pool via ``_minhash_rows``, not an
+    actor pool): doc -> ``bands`` KEYS-ONLY band rows (shard,
     bucket, doc_id) — fully vectorized (one hash pass + one permutation
     matrix op per batch). The full signature rides on the FIRST band row
     only (empty bytes elsewhere), so the materialized row set holds ONE
@@ -671,6 +673,23 @@ class MinHashStage:
             "doc_id": pa.array(np.repeat(ids, bands), type=pa.int64()),
             "sig": sig_col,
         })
+
+
+def _minhash_rows(ds: ray.data.Dataset, *, num_perm: int, bands: int,
+                  shingle_k: int, id_col: str, text_col: str,
+                  concurrency=(1, 8)) -> ray.data.Dataset:
+    """Run ``MinHashStage`` as a TASK pool: the stage holds params only
+    (no model/index state), so an actor pool would re-pay process
+    spin-up per pipeline for nothing — plain tasks reuse Ray's warm
+    workers (measured 1.5 s -> 0.7 s for the sign+materialize phase at
+    sf0.1). ``concurrency`` tuples (actor-pool style) map to their max
+    as the task cap."""
+    stage = MinHashStage(num_perm=num_perm, bands=bands,
+                         shingle_k=shingle_k, id_col=id_col,
+                         text_col=text_col)
+    cap = max(concurrency) if isinstance(concurrency, tuple) else concurrency
+    return ds.map_batches(lambda t: stage(t), batch_format="pyarrow",
+                          concurrency=cap)
 
 
 def _bucket_candidate_pairs(bucket_rows: ray.data.Dataset,
@@ -782,13 +801,11 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, *, num_perm: int = 128,
     signature equality mean); the signature bytes simply no longer ride
     every band row through the bucket shuffle.
     """
-    rows = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
-                               "shingle_k": shingle_k, "id_col": id_col,
-                               "text_col": text_col},
-        batch_format="pyarrow", concurrency=concurrency,
-    ).materialize()   # one tokenize+sign pass feeds BOTH phases below
+    rows = _minhash_rows(ds, num_perm=num_perm, bands=bands,
+                         shingle_k=shingle_k, id_col=id_col,
+                         text_col=text_col, concurrency=concurrency
+                         ).materialize()  # one tokenize+sign pass feeds
+    #                                       BOTH phases below
 
     def has_sig(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -886,13 +903,10 @@ def minhash_index_add(ds_new: ray.data.Dataset, state_dir: str, *,
     else:
         state = {"params": params, "generations": []}
 
-    rows_new = ds_new.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k, id_col=id_col,
-                                   text_col=text_col),
-        batch_format="pyarrow", concurrency=concurrency,
-    ).materialize()
+    rows_new = _minhash_rows(ds_new, num_perm=num_perm, bands=bands,
+                             shingle_k=shingle_k, id_col=id_col,
+                             text_col=text_col,
+                             concurrency=concurrency).materialize()
     gen = len(state["generations"])
     gen_dir = os.path.join(state_dir, f"gen-{gen:05d}")
     man = write_partitioned(rows_new, gen_dir, key_col="doc_id")
