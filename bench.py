@@ -66,6 +66,28 @@ def _init_ray(num_cpus: int) -> None:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    _warm_workers(num_cpus)
+
+
+def _warm_workers(num_cpus: int) -> None:
+    """Pre-spawn worker processes and import the package in each BEFORE
+    any timed section. A cold local cluster otherwise bills ~2-3 s of
+    python-worker fork+import to whichever stage runs first (measured:
+    build_index 5.5 s cold vs 2.6 s warm at sf0.1) — that measures
+    process spawn, not the engine; a long-lived production cluster runs
+    warm. Untimed, documented protocol step (BASELINE.md)."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def _preload(i: int) -> int:
+        import poseidon_ray.pipelines.build  # noqa: F401
+        import poseidon_ray.stages.dedup     # noqa: F401
+        return i
+
+    ray.get([_preload.remote(i) for i in range(num_cpus)])
+    # one trivial Dataset run warms Ray Data's streaming-executor path
+    ray.data.range(num_cpus, override_num_blocks=num_cpus) \
+        .map_batches(lambda b: b).materialize()
 
 
 def run_headline(sf_dir: str, num_cpus: int, workdir: str) -> dict:

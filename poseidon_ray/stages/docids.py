@@ -35,6 +35,111 @@ from poseidon_ray.functions.hashing import sha256_column
 
 SORT_KEYS = ["repo", "path", "commit"]
 
+_KEY_SEP = "\x00"  # below any key character -> concatenated order ==
+                   # lexicographic (repo, path, commit) tuple order
+
+
+def _composite_keys(t: pa.Table) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    arr = pc.binary_join_element_wise(
+        *(pc.cast(t[k], pa.string()) for k in SORT_KEYS), _KEY_SEP)
+    return np.asarray(arr.to_numpy(zero_copy_only=False), dtype=object)
+
+
+@ray.remote
+def _key_sample(block: pa.Table, max_sample: int = 512) -> np.ndarray:
+    """Evenly-strided key sample of one block (drives splitter choice —
+    O(blocks * max_sample) driver strings, never the key column)."""
+    if block.num_rows == 0:
+        return np.empty(0, dtype=object)
+    step = max(1, block.num_rows // max_sample)
+    return _composite_keys(block)[::step]
+
+
+@ray.remote
+def _split_by_ranges(splitters: np.ndarray, nred: int,
+                     *tables: pa.Table) -> list:
+    """One splitter's share of blocks -> nred range slabs (rows with key
+    in [splitter[r-1], splitter[r])). Slab with no rows -> None."""
+    outs: list[list[pa.Table]] = [[] for _ in range(nred)]
+    for t in tables:
+        if t.num_rows == 0:
+            continue
+        keys = _composite_keys(t)
+        slab = np.searchsorted(splitters, keys, side="right")
+        order = np.argsort(slab, kind="stable")
+        t = t.take(pa.array(order, type=pa.int64()))
+        slab = slab[order]
+        bounds = np.searchsorted(slab, np.arange(nred + 1))
+        for r in range(nred):
+            if bounds[r + 1] > bounds[r]:
+                outs[r].append(t.slice(bounds[r], bounds[r + 1] - bounds[r]))
+    return [pa.concat_tables(o).combine_chunks() if o else None
+            for o in outs]
+
+
+@ray.remote(num_returns=2)
+def _merge_sorted_slab(*tables):
+    """Concat one range slab and sort it by the composite key. Returns
+    (table | None, num_rows)."""
+    flat: list = []
+    for t in tables:
+        flat.extend(t) if isinstance(t, list) else flat.append(t)
+    tabs = [t for t in flat if t is not None and t.num_rows]
+    if not tabs:
+        return None, 0
+    g = pa.concat_tables(tabs).combine_chunks()
+    order = np.argsort(_composite_keys(g), kind="stable")
+    g = g.take(pa.array(order, type=pa.int64()))
+    return g, g.num_rows
+
+
+def _manual_sort(mds, nred: int | None = None) -> tuple[list, list[int]]:
+    """Globally sort a materialized corpus by SORT_KEYS with the same
+    two-wave raw-task exchange the index shuffle uses (sample -> range
+    split -> per-slab sort) instead of Ray's Sort operator, whose fixed
+    SortMap/SortReduce machinery dominates small inputs (~1.5 s at 5k
+    rows) and re-sorts what the slab merge sorts anyway. Returns
+    (sorted_block_refs, counts) in global key order — exactly what docID
+    rank assignment consumes. Global order is identical to ``ds.sort``;
+    tie order among fully-equal keys is arrival-dependent in both."""
+    blocks, counts = _block_refs_and_counts(mds)
+    blocks = [b for b, c in zip(blocks, counts) if c]
+    if not blocks:
+        return [], []
+    total = sum(counts)
+    ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    if nred is None:
+        # one slab per ~64k rows, capped by CPUs (each slab is one sort
+        # task and one docstore block downstream)
+        nred = max(1, min(ncpu, total // 65_536 + 1))
+    samples = np.concatenate(ray.get([_key_sample.remote(b)
+                                      for b in blocks]))
+    samples.sort(kind="stable")
+    if len(samples) and nred > 1:
+        pos = (np.arange(1, nred) * len(samples)) // nred
+        splitters = samples[pos]
+    else:
+        splitters = np.empty(0, dtype=object)
+    num_writers = max(1, min(ncpu, len(blocks)))
+    grid = []
+    for w in range(num_writers):
+        share = blocks[w::num_writers]
+        if share:
+            grid.append(_split_by_ranges.options(num_returns=nred)
+                        .remote(splitters, nred, *share))
+    grid = [g if isinstance(g, list) else [g] for g in grid]
+    out_refs, count_refs = [], []
+    for r in range(nred):
+        t_ref, n_ref = _merge_sorted_slab.remote(*[row[r] for row in grid])
+        out_refs.append(t_ref)
+        count_refs.append(n_ref)
+    nrows = ray.get(count_refs)
+    refs = [t for t, n in zip(out_refs, nrows) if n]
+    cnts = [n for n in nrows if n]
+    return refs, cnts
+
 
 @ray.remote(num_cpus=1, num_returns=2)
 def _attach_ids(block: pa.Table, base: int, path: str):
@@ -76,11 +181,12 @@ def build_docstore(corpus: ray.data.Dataset, out_dir: str,
             return json.load(f), None
 
     os.makedirs(os.path.join(out_dir, "docstore"), exist_ok=True)
-    ds = corpus.sort(SORT_KEYS)
-    # materialize the sorted blocks, then attach ranks per block; block refs
-    # stay in the object store (zero-copy), only counts reach the driver
-    mds = ds.materialize()
-    blocks, counts = _block_refs_and_counts(mds)
+    # manual range-sort exchange (sample -> split -> per-slab sort): same
+    # global order as corpus.sort(SORT_KEYS) without the Sort operator's
+    # fixed cost; block refs stay in the object store (zero-copy), only
+    # counts reach the driver
+    mds = corpus.materialize()
+    blocks, counts = _manual_sort(mds)
     bases = docid_base + np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
     info_refs, table_refs, write_refs = [], [], []
     for i, (ref, base) in enumerate(zip(blocks, bases)):

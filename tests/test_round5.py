@@ -339,3 +339,43 @@ class TestJpegEdges:
                           restart_interval=2, dnl=True)
         a, b = decode_jpeg(plain), decode_jpeg(dnl)
         assert (a == b).all()
+
+
+class TestManualSort:
+    """The docstore's manual range-sort exchange must equal ds.sort."""
+
+    def test_matches_ray_sort(self, ray_session):
+        import pyarrow.compute as pc
+
+        from poseidon_ray.stages.docids import SORT_KEYS, _manual_sort
+
+        rng = np.random.default_rng(11)
+        n = 3000
+        t = pa.table({
+            "repo": pa.array([f"r{int(x)}" for x in rng.integers(0, 40, n)]),
+            "path": pa.array([f"p/{int(x)}.py" for x in rng.integers(0, 300, n)]),
+            "commit": pa.array([f"c{int(x):04d}" for x in rng.integers(0, 9999, n)]),
+            "lang": pa.array(["py"] * n),
+            "content": pa.array([f"body {i}" for i in range(n)]),
+        })
+        ds = ray.data.from_arrow(t).repartition(7)
+        expect = ds.sort(SORT_KEYS).to_pandas().reset_index(drop=True)
+        refs, counts = _manual_sort(ds.materialize())
+        got = pa.concat_tables(ray.get(refs)).to_pandas().reset_index(drop=True)
+        assert sum(counts) == n
+        # identical global order (keys are unique almost surely; compare
+        # the key columns exactly, content via the full frame sorted)
+        assert expect[SORT_KEYS].equals(got[SORT_KEYS])
+        assert expect.sort_values(list(expect.columns)).reset_index(drop=True) \
+            .equals(got.sort_values(list(got.columns)).reset_index(drop=True))
+
+    def test_empty_corpus(self, ray_session):
+        t = pa.table({"repo": pa.array([], type=pa.string()),
+                      "path": pa.array([], type=pa.string()),
+                      "commit": pa.array([], type=pa.string()),
+                      "lang": pa.array([], type=pa.string()),
+                      "content": pa.array([], type=pa.string())})
+        from poseidon_ray.stages.docids import _manual_sort
+
+        refs, counts = _manual_sort(ray.data.from_arrow(t).materialize())
+        assert refs == [] and counts == []
