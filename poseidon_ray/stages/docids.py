@@ -111,9 +111,14 @@ def _manual_sort(mds, nred: int | None = None) -> tuple[list, list[int]]:
     total = sum(counts)
     ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
     if nred is None:
-        # one slab per ~64k rows, capped by CPUs (each slab is one sort
-        # task and one docstore block downstream)
-        nred = max(1, min(ncpu, total // 65_536 + 1))
+        # slab count = downstream parallelism: each slab is one sort
+        # task, one docstore file, AND one tokenize input block — too few
+        # slabs starves the tokenize actor pool (measured 27 s -> 83 s at
+        # 480k rows when 8 slabs fed 8 actors with no work splitting).
+        # Target ~16k rows / <=256 MB per slab, floor 4 per CPU.
+        nbytes = mds.size_bytes() or 0
+        nred = max(1, min(65_536, max(ncpu * 4, total // 16_384 + 1,
+                                      nbytes // (256 << 20) + 1)))
     samples = np.concatenate(ray.get([_key_sample.remote(b)
                                       for b in blocks]))
     samples.sort(kind="stable")
