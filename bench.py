@@ -273,8 +273,13 @@ def main() -> None:
         corpus = ray.data.read_parquet(args.corpus,
                                        override_num_blocks=128)
         t0 = time.monotonic()
+        # FIXED-size tokenize pool: an autoscaling (N/2, N) pool can stick
+        # below max width for a whole run (bimodal 2x tokenize outliers in
+        # the r5 scaling reps); the tokenize input is already materialized
+        # docstore blocks, so a full-width fixed pool cannot starve any
+        # upstream (the deadlock rule only bites streaming upstreams)
         build_index(corpus, workdir, spec,
-                    tokenize_concurrency=(max(1, num_cpus // 2), num_cpus),
+                    tokenize_concurrency=(num_cpus, num_cpus),
                     tokenize_batch_size=512,
                     shuffle=os.environ.get("RAY_GRAFT_SHUFFLE", "manual"))
         build_sec = time.monotonic() - t0

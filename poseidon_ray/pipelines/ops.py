@@ -732,6 +732,85 @@ def q_hll_invariants(sf_dir: str) -> pa.Table:
     })
 
 
+def q_asof_join(sf_dir: str) -> pa.Table:
+    """Backward as-of join (event-stream enrichment): every purchase
+    gains the user's latest prior-or-simultaneous click. Tiebreak =
+    click event_id (unique -> fully deterministic), matching the SQL
+    twin's per-(user, ts) argmax + ASOF LEFT JOIN."""
+    import pyarrow.compute as _pc
+
+    from poseidon_ray.stages.join import asof_join
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    cols = ["ts", "user_id", "event_id", "event_type", "value"]
+    left = ray.data.read_parquet(
+        ev, columns=cols, filter=_pc.field("event_type") == "purchase")
+    right = ray.data.read_parquet(
+        ev, columns=["ts", "user_id", "event_id", "event_type"],
+        filter=_pc.field("event_type") == "click")
+
+    def to_click(t: pa.Table) -> pa.Table:
+        return pa.table({"ts": t["ts"], "user_id": t["user_id"],
+                         "click_id": pc.cast(t["event_id"], pa.int64())})
+
+    out = _collect(asof_join(
+        left, right.map_batches(to_click, batch_format="pyarrow"),
+        on="ts", by="user_id", left_cols=["event_id", "value"],
+        right_cols=["click_id"]))
+    v = out["value"].to_numpy(zero_copy_only=False)
+    out = pa.table({
+        "user_id": pc.cast(out["user_id"], pa.int64()),
+        "ts": pc.cast(out["ts"], pa.int64()),
+        "event_id": pc.cast(out["event_id"], pa.int64()),
+        "value_r2": pa.array(np.round(v * 100).astype(np.int64)),
+        "ts_r": pc.cast(out["ts_r"], pa.int64()),
+        "click_id": pc.cast(out["click_id"], pa.int64()),
+    })
+    return out.sort_by("event_id")
+
+
+def q_orders_by_segment(sf_dir: str) -> pa.Table:
+    """Broadcast-small-side equi-join + rollup over the TPC-H tables:
+    orders (streamed, never shuffled) x customer (broadcast once) ->
+    revenue per market segment. The segment key space is tiny, so the
+    rollup is a per-batch partial + driver merge."""
+    from poseidon_ray.stages.join import broadcast_hash_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    cust = cust.rename_columns(["o_custkey", "c_mktsegment"])
+    joined = broadcast_hash_join(orders, cust, on="o_custkey",
+                                 small_cols=["c_mktsegment"], how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        seg = np.asarray(t["c_mktsegment"].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        useg, inv = np.unique(seg, return_inverse=True)
+        return pa.table({
+            "c_mktsegment": pa.array(useg, type=pa.string()),
+            "n_orders": pa.array(np.bincount(inv).astype(np.int64)),
+            "revenue": pa.array(np.bincount(inv, weights=price)),
+        })
+
+    parts = _collect(joined.map_batches(partial, batch_format="pyarrow"))
+    seg = np.asarray(parts["c_mktsegment"].to_numpy(zero_copy_only=False),
+                     dtype=object)
+    useg, inv = np.unique(seg, return_inverse=True)
+    n = np.bincount(inv, weights=parts["n_orders"].to_numpy(
+        zero_copy_only=False).astype(np.float64)).astype(np.int64)
+    rev = np.bincount(inv, weights=parts["revenue"].to_numpy(
+        zero_copy_only=False))
+    return pa.table({
+        "c_mktsegment": pa.array(useg, type=pa.string()),
+        "n_orders": pa.array(n),
+        "revenue_r2": pa.array(np.round(rev * 100).astype(np.int64)),
+    })
+
+
 def q_sessions(sf_dir: str) -> pa.Table:
     """Per-user sessionization (30-minute inactivity gap)."""
     from poseidon_ray.stages.events import sessionize
@@ -1227,6 +1306,26 @@ ORACLE_SQL: dict[str, str] = {
         "CAST(round(sum(value) * 100) AS BIGINT) AS value_r2 "
         "FROM events GROUP BY 1, 2 ORDER BY window_us, event_type"
     ),
+    # backward as-of join: latest prior click per purchase; right ties at
+    # the same (user, ts) pinned by max(click_id) on BOTH sides
+    "asof_join": (
+        "WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value "
+        "FROM events WHERE event_type = 'purchase'), "
+        "r AS (SELECT user_id, epoch_us(ts) AS ts_us, "
+        "max(event_id) AS click_id FROM events WHERE event_type = 'click' "
+        "GROUP BY 1, 2) "
+        "SELECT l.user_id, CAST(l.ts_us AS BIGINT) AS ts, l.event_id, "
+        "CAST(round(l.value * 100) AS BIGINT) AS value_r2, "
+        "CAST(r.ts_us AS BIGINT) AS ts_r, r.click_id "
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id "
+        "AND l.ts_us >= r.ts_us ORDER BY l.event_id"
+    ),
+    "orders_by_segment": (
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_r2 "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY 1 ORDER BY 1"
+    ),
     "events_window_uv": (
         "SELECT CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 AS BIGINT)"
         " AS window_us, event_type, CAST(count(*) AS BIGINT) AS pv, "
@@ -1535,6 +1634,8 @@ QUERIES = {
     "events_pv": q_events_pv,
     "events_window": q_events_window,
     "events_window_uv": q_events_window_uv,
+    "asof_join": q_asof_join,
+    "orders_by_segment": q_orders_by_segment,
     "events_hopping": q_events_hopping,
     "sessions": q_sessions,
     "ann_topk": q_ann_topk,

@@ -379,3 +379,74 @@ class TestManualSort:
 
         refs, counts = _manual_sort(ray.data.from_arrow(t).materialize())
         assert refs == [] and counts == []
+
+
+class TestJoins:
+    """r5 join operators: broadcast equi-join + backward as-of join."""
+
+    def test_broadcast_hash_join_inner_and_left(self, ray_session):
+        from poseidon_ray.stages.join import broadcast_hash_join
+
+        big = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 4, 2], type=pa.int64()),
+            "x": pa.array([10, 20, 30, 40, 21], type=pa.int64()),
+        }))
+        small = pa.table({"k": pa.array([2, 3], type=pa.int64()),
+                          "name": pa.array(["b", "c"])})
+        inner = broadcast_hash_join(big, small, on="k",
+                                    small_cols=["name"]).to_pandas()
+        assert sorted(inner["x"]) == [20, 21, 30]
+        assert set(inner["name"]) == {"b", "c"}
+        left = broadcast_hash_join(big, small, on="k", small_cols=["name"],
+                                   how="left").to_pandas()
+        assert len(left) == 5
+        assert left["name"].isna().sum() == 2
+
+    def test_broadcast_join_rejects_duplicate_small_keys(self, ray_session):
+        from poseidon_ray.stages.join import broadcast_hash_join
+
+        big = ray.data.from_arrow(pa.table({"k": pa.array([1], type=pa.int64())}))
+        small = pa.table({"k": pa.array([1, 1], type=pa.int64()),
+                          "v": pa.array([1, 2], type=pa.int64())})
+        with pytest.raises(ValueError, match="not unique"):
+            broadcast_hash_join(big, small, on="k", small_cols=["v"])
+
+    def test_asof_join_semantics(self, ray_session):
+        from poseidon_ray.stages.join import asof_join
+
+        left = ray.data.from_arrow(pa.table({
+            "ts": pa.array([10, 20, 5], type=pa.int64()),
+            "user_id": pa.array([1, 1, 2], type=pa.int64()),
+            "lv": pa.array([100, 200, 300], type=pa.int64()),
+        }))
+        right = ray.data.from_arrow(pa.table({
+            "ts": pa.array([8, 10, 15, 30, 6], type=pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+            "rv": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        }))
+        out = asof_join(left, right, on="ts", by="user_id",
+                        left_cols=["lv"], right_cols=["rv"]).to_pandas() \
+            .sort_values("lv").reset_index(drop=True)
+        # lv=100 @ts10 -> rv=2 (ts 10, inclusive); lv=200 @ts20 -> rv=3;
+        # lv=300 @ts5 (user 2) -> no prior click (right ts 6 > 5) -> null
+        assert out["rv"].tolist()[:2] == [2, 3]
+        assert np.isnan(out["rv"].iloc[2]) or out["rv"].isna().iloc[2]
+        assert out["ts_r"].tolist()[:2] == [10, 15]
+
+    def test_asof_join_tiebreak_deterministic(self, ray_session):
+        from poseidon_ray.stages.join import asof_join
+
+        left = ray.data.from_arrow(pa.table({
+            "ts": pa.array([10], type=pa.int64()),
+            "user_id": pa.array([7], type=pa.int64()),
+            "lv": pa.array([1], type=pa.int64()),
+        }))
+        # two right rows at the same (user, ts): greatest tiebreak wins
+        right = ray.data.from_arrow(pa.table({
+            "ts": pa.array([9, 9], type=pa.int64()),
+            "user_id": pa.array([7, 7], type=pa.int64()),
+            "rv": pa.array([41, 42], type=pa.int64()),
+        })).repartition(2)
+        out = asof_join(left, right, on="ts", by="user_id",
+                        left_cols=["lv"], right_cols=["rv"]).to_pandas()
+        assert out["rv"].tolist() == [42]
