@@ -811,6 +811,58 @@ def q_orders_by_segment(sf_dir: str) -> pa.Table:
     })
 
 
+def q_lineitem_rollup(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-style grouped rollup over lineitem (the generic
+    wide-aggregate shape: per-batch vectorized partial -> tiny driver
+    merge over <= |flags|x|statuses| groups; column-pruned read)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flag = np.asarray(t["l_returnflag"].to_numpy(zero_copy_only=False),
+                          dtype=object)
+        status = np.asarray(t["l_linestatus"].to_numpy(zero_copy_only=False),
+                            dtype=object)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        key = flag + "|" + status
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "key": pa.array(uk, type=pa.string()),
+            "sum_qty": pa.array(np.bincount(inv, weights=qty)),
+            "sum_price": pa.array(np.bincount(inv, weights=price)),
+            "sum_disc": pa.array(
+                np.bincount(inv, weights=price * (1.0 - disc))),
+            "n_rows": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    key = np.asarray(parts["key"].to_numpy(zero_copy_only=False),
+                     dtype=object)
+    uk, inv = np.unique(key, return_inverse=True)
+
+    def _sum(col):
+        return np.bincount(inv, weights=parts[col].to_numpy(
+            zero_copy_only=False).astype(np.float64))
+
+    flag = np.array([k.split("|")[0] for k in uk], dtype=object)
+    status = np.array([k.split("|")[1] for k in uk], dtype=object)
+    return pa.table({
+        "l_returnflag": pa.array(flag, type=pa.string()),
+        "l_linestatus": pa.array(status, type=pa.string()),
+        "sum_qty_r2": pa.array(np.round(_sum("sum_qty") * 100)
+                               .astype(np.int64)),
+        "sum_price_r2": pa.array(np.round(_sum("sum_price") * 100)
+                                 .astype(np.int64)),
+        "sum_disc_r2": pa.array(np.round(_sum("sum_disc") * 100)
+                                .astype(np.int64)),
+        "n_rows": pa.array(_sum("n_rows").astype(np.int64)),
+    })
+
+
 def q_sessions(sf_dir: str) -> pa.Table:
     """Per-user sessionization (30-minute inactivity gap)."""
     from poseidon_ray.stages.events import sessionize
@@ -1326,6 +1378,14 @@ ORACLE_SQL: dict[str, str] = {
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY 1 ORDER BY 1"
     ),
+    "lineitem_rollup": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_r2, "
+        "CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_r2, "
+        "CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)"
+        " AS sum_disc_r2, CAST(count(*) AS BIGINT) AS n_rows "
+        "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
     "events_window_uv": (
         "SELECT CAST(floor(epoch_us(ts) / 86400000000) * 86400000000 AS BIGINT)"
         " AS window_us, event_type, CAST(count(*) AS BIGINT) AS pv, "
@@ -1636,6 +1696,7 @@ QUERIES = {
     "events_window_uv": q_events_window_uv,
     "asof_join": q_asof_join,
     "orders_by_segment": q_orders_by_segment,
+    "lineitem_rollup": q_lineitem_rollup,
     "events_hopping": q_events_hopping,
     "sessions": q_sessions,
     "ann_topk": q_ann_topk,
