@@ -811,6 +811,43 @@ def q_orders_by_segment(sf_dir: str) -> pa.Table:
     })
 
 
+def q_props_rollup(sf_dir: str) -> pa.Table:
+    """Semi-structured field extraction + rollup (the M1 line-format
+    parser analog for JSON payload columns): pull ``k`` out of the JSON
+    ``props`` string with one vectorized Arrow regex per batch, sum per
+    event type. DuckDB twin = json_extract."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], r'"k"\s*:\s*(?P<v>-?\d+)')
+        v = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        types = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                           dtype=object)
+        vals = v.to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(vals.astype(np.float64)) \
+            if vals.dtype != np.int64 else np.ones(len(vals), bool)
+        ut, inv = np.unique(types[ok], return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(ut, type=pa.string()),
+            "k_sum": pa.array(np.bincount(
+                inv, weights=vals[ok].astype(np.float64))
+                .astype(np.int64)),
+            "n_with_k": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    types = np.asarray(parts["event_type"].to_numpy(zero_copy_only=False),
+                       dtype=object)
+    ut, inv = np.unique(types, return_inverse=True)
+    ks = np.bincount(inv, weights=parts["k_sum"].to_numpy(
+        zero_copy_only=False).astype(np.float64)).astype(np.int64)
+    n = np.bincount(inv, weights=parts["n_with_k"].to_numpy(
+        zero_copy_only=False).astype(np.float64)).astype(np.int64)
+    return pa.table({"event_type": pa.array(ut, type=pa.string()),
+                     "k_sum": pa.array(ks), "n_with_k": pa.array(n)})
+
+
 def q_lineitem_rollup(sf_dir: str) -> pa.Table:
     """TPC-H Q1-style grouped rollup over lineitem (the generic
     wide-aggregate shape: per-batch vectorized partial -> tiny driver
@@ -1378,6 +1415,12 @@ ORACLE_SQL: dict[str, str] = {
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY 1 ORDER BY 1"
     ),
+    "props_rollup": (
+        "SELECT event_type, "
+        "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) "
+        "AS k_sum, CAST(count(json_extract(props, '$.k')) AS BIGINT) "
+        "AS n_with_k FROM events GROUP BY 1 ORDER BY 1"
+    ),
     "lineitem_rollup": (
         "SELECT l_returnflag, l_linestatus, "
         "CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_r2, "
@@ -1697,6 +1740,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "orders_by_segment": q_orders_by_segment,
     "lineitem_rollup": q_lineitem_rollup,
+    "props_rollup": q_props_rollup,
     "events_hopping": q_events_hopping,
     "sessions": q_sessions,
     "ann_topk": q_ann_topk,

@@ -84,6 +84,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               on: str = "ts", by: str = "user_id",
               left_cols: list[str], right_cols: list[str],
               tiebreak: str | None = None,
+              tolerance: int | None = None,
               num_shards: int = 256,
               suffix: str = "_r") -> ray.data.Dataset:
     """Backward as-of LEFT join: every left row gains the right row with
@@ -91,6 +92,11 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     when none). Matches DuckDB ``ASOF LEFT JOIN ... ON l.by = r.by AND
     l.on >= r.on``; the output ``on``/``on + suffix`` columns are int64
     epoch microseconds.
+
+    ``tolerance`` (same units as ``on``; µs for timestamps) bounds the
+    lookback — a match older than ``left.on - tolerance`` becomes null
+    (the windowed/range-join semantics: "the click within the last
+    hour"); SQL twin = ASOF join + a CASE null-out of stale matches.
 
     ``left_cols`` and ``right_cols`` must be disjoint; right rows tied
     at the same (by, on) are resolved deterministically by ``tiebreak``
@@ -164,6 +170,10 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         cand = last_r[lpos]
         valid = cand >= 0
         valid[valid] &= keys_s[cand[valid]] == keys_s[lpos[valid]]
+        if tolerance is not None:
+            ts_s = ts[order]
+            valid[valid] &= (ts_s[lpos[valid]] - ts_s[cand[valid]]
+                             <= tolerance)
         l_src = order[lpos]
         r_src = np.where(valid, order[np.maximum(cand, 0)], 0)
         lt = g.take(pa.array(l_src, type=pa.int64()))

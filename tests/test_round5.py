@@ -450,3 +450,25 @@ class TestJoins:
         out = asof_join(left, right, on="ts", by="user_id",
                         left_cols=["lv"], right_cols=["rv"]).to_pandas()
         assert out["rv"].tolist() == [42]
+
+
+def test_asof_join_tolerance(ray_session):
+    from poseidon_ray.stages.join import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "ts": pa.array([100, 100], type=pa.int64()),
+        "user_id": pa.array([1, 2], type=pa.int64()),
+        "lv": pa.array([1, 2], type=pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "ts": pa.array([95, 10], type=pa.int64()),
+        "user_id": pa.array([1, 2], type=pa.int64()),
+        "rv": pa.array([10, 20], type=pa.int64()),
+    }))
+    out = asof_join(left, right, on="ts", by="user_id",
+                    left_cols=["lv"], right_cols=["rv"],
+                    tolerance=50).to_pandas().sort_values("lv")
+    # user 1: right at ts 95 within 50 -> matched; user 2: ts 10 is 90
+    # behind -> nulled by the tolerance window
+    assert out["rv"].tolist()[0] == 10
+    assert out["rv"].isna().iloc[1]
