@@ -35,6 +35,22 @@ import pyarrow.parquet as pq
 from poseidon_ray.functions import codec
 from poseidon_ray.schema import DIRECTORY_SCHEMA, SEGMENT_SCHEMA, IndexSpec
 
+def _bin_values(col) -> np.ndarray:
+    """Zero-copy uint8 view of a binary column's concatenated values
+    (consecutive rows have no gaps by Arrow's offset invariant, so the
+    slice IS the join of all rows)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, dtype=np.uint8)
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64, count=len(col) + 1,
+                         offset=col.offset * 8)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    return data[offs[0]:offs[-1]]
+
+
 SEGMENT_ROW_GROUP = 32  # rows per parquet row group => a term fetch reads one
                         # small row group, the ~40 KB InvertedIndexGz analog.
                         # Sweep on the 120k/960k corpora: 8 rows = fastest
@@ -60,15 +76,17 @@ def build_segment_partition(group: pa.Table, out_dir: str, spec: IndexSpec) -> p
 
     # ---- unpack chunk varint blobs to flat posting arrays (one
     # concatenated decode per column — varints are self-delimiting, so the
-    # join of all rows decodes in a single vectorized pass)
+    # join of all rows decodes in a single vectorized pass; the "join" is
+    # a zero-copy view of the binary column's values buffer, never a
+    # Python bytes concat)
     row_lens = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
     row_starts = np.concatenate([[0], np.cumsum(row_lens)[:-1]])
     flat_doc = codec.undelta_segments(
-        codec.decode_varint(b"".join(group["doc_bytes"].to_pylist())), row_starts)
+        codec.decode_varint(_bin_values(group["doc_bytes"])), row_starts)
     flat_tf = codec.decode_varint(
-        b"".join(group["tf_bytes"].to_pylist())).astype(np.uint32)
+        _bin_values(group["tf_bytes"])).astype(np.uint32)
     flat_dl = codec.decode_varint(
-        b"".join(group["dl_bytes"].to_pylist())).astype(np.uint32)
+        _bin_values(group["dl_bytes"])).astype(np.uint32)
 
     terms = group["term"].to_numpy(zero_copy_only=False)
     fields = group["field"].to_numpy(zero_copy_only=False)
@@ -76,7 +94,16 @@ def build_segment_partition(group: pa.Table, out_dir: str, spec: IndexSpec) -> p
     codes, uniq_keys = pd.factorize(keys, sort=True)
     flat_codes = np.repeat(codes, row_lens)
 
-    order = np.lexsort((flat_doc, flat_codes))
+    # single composite-key argsort when (code, doc) packs into 63 bits
+    # (np.lexsort is ~25x slower than np.sort on this host); exact
+    # fallback for astronomically large id spaces
+    n0 = len(flat_doc)
+    maxd = int(flat_doc.max()) + 1 if n0 else 1
+    if n0 and len(uniq_keys) * maxd < (1 << 63):
+        order = np.argsort(flat_codes.astype(np.uint64) * np.uint64(maxd)
+                           + flat_doc.astype(np.uint64), kind="stable")
+    else:
+        order = np.lexsort((flat_doc, flat_codes))
     flat_doc = flat_doc[order]
     flat_tf = flat_tf[order]
     flat_dl = flat_dl[order]
@@ -142,14 +169,21 @@ def build_segment_partition(group: pa.Table, out_dir: str, spec: IndexSpec) -> p
     bm_bytes = blocks.tobytes()
     bm_itemsize = codec.BLOCKMAX_DTYPE.itemsize
 
-    post_col, tf_col, dl_col, bm_col = [], [], [], []
-    for i in range(n_terms):
-        s, e = starts[i], ends[i]
-        post_col.append(doc_bytes[off_doc[s]:off_doc[e]])
-        tf_col.append(tf_bytes[off_tf[s]:off_tf[e]])
-        dl_col.append(dl_bytes[off_dl[s]:off_dl[e]])
-        bm_col.append(bm_bytes[first_block_of_term[i] * bm_itemsize:
-                               first_block_of_term[i + 1] * bm_itemsize])
+    # per-term byte ranges are contiguous ascending (flat arrays are
+    # term-sorted), so every binary column builds straight from_buffers
+    # with offset slices — no per-term Python slicing loop
+    grp_b = np.append(starts, n).astype(np.int64)
+
+    def _bin_col(off: np.ndarray, data: bytes) -> pa.Array:
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n_terms,
+            [None, pa.py_buffer(off[grp_b].astype(np.int64).tobytes()),
+             pa.py_buffer(data)])
+
+    bm_off = (first_block_of_term * bm_itemsize).astype(np.int64)
+    bm_col = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n_terms,
+        [None, pa.py_buffer(bm_off.tobytes()), pa.py_buffer(bm_bytes)])
 
     out_fields = np.array([k[0] for k in uniq_keys], dtype=object)
     out_terms = np.array([k[1] for k in uniq_keys], dtype=object)
@@ -160,10 +194,10 @@ def build_segment_partition(group: pa.Table, out_dir: str, spec: IndexSpec) -> p
             "df": pa.array(dfs, type=pa.uint32()),
             "cf": pa.array(cfs, type=pa.uint64()),
             "cf_truncated": pa.array(truncated),
-            "postings": pa.array(post_col, type=pa.large_binary()),
-            "tf_bytes": pa.array(tf_col, type=pa.large_binary()),
-            "dl_bytes": pa.array(dl_col, type=pa.large_binary()),
-            "blockmax": pa.array(bm_col, type=pa.large_binary()),
+            "postings": _bin_col(off_doc, doc_bytes),
+            "tf_bytes": _bin_col(off_tf, tf_bytes),
+            "dl_bytes": _bin_col(off_dl, dl_bytes),
+            "blockmax": bm_col,
         },
         schema=SEGMENT_SCHEMA,
     )
@@ -184,8 +218,11 @@ def build_segment_partition(group: pa.Table, out_dir: str, spec: IndexSpec) -> p
     os.makedirs(os.path.dirname(seg_path), exist_ok=True)
     os.makedirs(os.path.dirname(dir_path), exist_ok=True)
     for path, tbl in ((seg_path, segment), (dir_path, directory)):
+        # zstd level 1: the posting columns are already delta+varint
+        # packed, so higher levels buy ~5% size for ~2.5x the reducer CPU
+        # (write_table was the single largest term in the profile)
         pq.write_table(tbl, path + ".tmp", row_group_size=SEGMENT_ROW_GROUP,
-                       compression="zstd")
+                       compression="zstd", compression_level=1)
         os.replace(path + ".tmp", path)
 
     manifest = {
