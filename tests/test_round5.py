@@ -472,3 +472,37 @@ def test_asof_join_tolerance(ray_session):
     # behind -> nulled by the tolerance window
     assert out["rv"].tolist()[0] == 10
     assert out["rv"].isna().iloc[1]
+
+
+def test_copartitioned_antijoin_resume(ray_session, tmp_path):
+    """A re-run over the same workdir hits the sink's completion markers
+    (shards skip) and produces identical output."""
+    import json
+    import os
+
+    from poseidon_ray.stages import dedup
+
+    corpus = pa.table({
+        "doc_id": pa.array(np.arange(500), type=pa.int64()),
+        "text": pa.array([f"doc {i}" for i in range(500)]),
+    })
+    drops = pa.table({
+        "shard": pa.array(np.zeros(10), type=pa.int64()),
+        "drop_id": pa.array(np.arange(0, 500, 50), type=pa.int64()),
+    })
+    wd = str(tmp_path)
+    first = _sorted_pandas(dedup._anti_filter_copartitioned(
+        ray.data.from_arrow(corpus), ray.data.from_arrow(drops),
+        id_col="doc_id", num_shards=8, workdir=wd))
+    again = _sorted_pandas(dedup._anti_filter_copartitioned(
+        ray.data.from_arrow(corpus), ray.data.from_arrow(drops),
+        id_col="doc_id", num_shards=8, workdir=wd))
+    assert first.equals(again)
+    assert len(first) == 490
+    # every corpus shard is marker-certified after the first run
+    markers = [f for f in os.listdir(os.path.join(wd, "corpus"))
+               if f.endswith(".json") and f.startswith("part-")]
+    assert len(markers) == 8
+    rows = sum(json.load(open(os.path.join(wd, "corpus", m)))["rows"]
+               for m in markers)
+    assert rows == 500
