@@ -506,3 +506,23 @@ def test_copartitioned_antijoin_resume(ray_session, tmp_path):
     rows = sum(json.load(open(os.path.join(wd, "corpus", m)))["rows"]
                for m in markers)
     assert rows == 500
+
+
+def test_shard_exchange_negative_shard_values(ray_session):
+    """pv_uv routes pv sentinels on shard -1; Python-modulo semantics put
+    them in a real slab and the reduce still sees them as ONE group."""
+    t = pa.table({
+        "shard": pa.array([-1, -1, 3, 3, 7], type=pa.int64()),
+        "key": pa.array([10, 10, 20, 21, 30], type=pa.int64()),
+        "val": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+    })
+
+    def reduce_fn(g: pa.Table) -> pa.Table:
+        s = g["shard"][0].as_py()
+        assert (g["shard"].to_numpy() == s).all()  # shard-pure groups
+        return _per_shard_stats(g)
+
+    out = _sorted_pandas(shard_exchange(ray.data.from_arrow(t), "shard",
+                                        reduce_fn, num_reducers=4))
+    assert out["key"].tolist() == [10, 20, 21, 30]
+    assert out["val_sum"].tolist() == [3, 3, 4, 5]
